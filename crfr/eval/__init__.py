@@ -1,0 +1,10 @@
+from crfr.eval.verification import (  # noqa: F401
+    VerificationResult,
+    evaluate_verification,
+    fuse_flip_features,
+)
+from crfr.eval.identification import (  # noqa: F401
+    IdentificationResult,
+    closed_set_identification,
+    open_set_identification,
+)

@@ -1,0 +1,71 @@
+"""Mesh construction and sharding rules — the distributed backbone.
+
+The reference scales with single-process ``nn.DataParallel`` only (SURVEY.md
+§2.3/§2.4); here every distributed decision is declarative: one
+``jax.sharding.Mesh`` with axes ``('data', 'model')``, NamedShardings derived
+from it, and XLA emits the collectives over ICI/DCN.
+
+- ``data``  — batch axis (DP). Gradients psum over this axis inside pjit.
+- ``model`` — class axis of the ArcFace head W∈ℝ^{512×C} (PartialFC-style
+  class sharding; the only model-parallel pressure point in this workload).
+
+Everything else (backbone params, BN stats, optimizer state for them) is
+replicated; at IR-100 scale (~65M params) replication is the right call.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crfr.configs import MeshCfg
+
+
+def make_mesh(cfg: MeshCfg | None = None, devices=None) -> Mesh:
+    """Build the (data, model) mesh.
+
+    With no cfg, uses every visible device on the data axis (model=1) — the
+    right default for pure-DP training and for single-chip benches.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if cfg is None:
+        cfg = MeshCfg(data=n, model=1)
+    want = cfg.data * cfg.model
+    if want > n:
+        raise ValueError(
+            f"mesh {cfg.data}x{cfg.model} needs {want} devices, have {n}")
+    dev = np.asarray(devices[:want]).reshape(cfg.data, cfg.model)
+    return Mesh(dev, axis_names=(cfg.axis_data, cfg.axis_model))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard axis 0 (batch) over the FULL mesh (both axes) so pure-DP configs
+    with model>1 still use every chip for the backbone."""
+    axes = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(axes, *([None] * (ndim - 1))))
+
+
+def class_sharding(mesh: Mesh) -> NamedSharding:
+    """ArcFace W (D, C): shard the class axis C over the 'model' mesh axis."""
+    return NamedSharding(mesh, P(None, mesh.axis_names[1]))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device_put a host batch (pytree of arrays) with batch-axis sharding."""
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of m that is >= n (for padding class/batch axes so
+    static shapes divide the mesh)."""
+    return ((n + m - 1) // m) * m

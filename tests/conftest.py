@@ -1,0 +1,43 @@
+"""Test env: force an 8-device virtual CPU platform BEFORE jax backends init.
+
+This is the SURVEY.md §4 "distributed-without-a-cluster" harness: every
+pjit/shard_map path (DP step, class-sharded ArcFace CE, sharded eval matmul)
+runs against a real 8-way Mesh on fake CPU devices, no TPU pod needed.
+
+NOTE: this sandbox's sitecustomize force-registers the 'axon' TPU PJRT plugin
+and exports JAX_PLATFORMS=axon in every process, so plain env vars set here
+are too late for the platform choice — but jax backends initialize lazily, so
+``jax.config.update('jax_platforms', 'cpu')`` before any device use still
+wins. XLA_FLAGS is read at (lazy) backend init, so setting it here works.
+
+Set CRFR_TEST_TPU=1 to instead run the suite on the real attached chip(s).
+"""
+
+import os
+
+_USE_TPU = bool(os.environ.get("CRFR_TEST_TPU"))
+
+if not _USE_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    if not _USE_TPU:
+        assert jax.devices()[0].platform == "cpu", jax.devices()
+        assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
