@@ -1,0 +1,289 @@
+"""Training driver — jitted DP/TP step over the mesh (SURVEY.md §2.1
+"Training loop", §3.1 call stack, rebuilt TPU-first).
+
+Architecture of one step (all inside ONE jitted program, donated state):
+
+  batch (host uint8, batch-sharded over the full mesh)
+    → on-device degradation augmentation (matmul operators, crfr.ops.bicubic)
+    → normalize (x−127.5)/128 → bf16
+    → IR backbone forward (MXU convs) + BN stat updates
+    → margin-softmax CE:
+        mesh.model == 1 → dense head (one (B,512)×(512,C) GEMM)
+        mesh.model  > 1 → PartialFC class-sharded CE (shard_map psum/pmax)
+    [+ optional residual-KD term vs a frozen teacher]
+    → SGD+momentum update (optax), weight decay masked off BN/PReLU/bias
+       (the reference family's paras_wo_bn convention)
+
+DP gradients allreduce automatically: the batch is sharded, params are
+replicated, so XLA inserts the psum over ICI during backprop — no user-level
+collective code (SURVEY.md §2.4).
+
+Rng discipline: a single threaded jax.random key in the train state; dropout
+keys split per step (resume-deterministic — the step counter re-derives the
+stream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crfr.configs import Config
+from crfr.losses.arcface import MarginHead, sharded_margin_ce, softmax_ce
+from crfr.losses.distill import residual_kd_loss
+from crfr.models.irse import build_backbone
+from crfr.ops.bicubic import degrade_matrix
+from crfr.ops.normalize import normalize
+from crfr.parallel.mesh import (batch_sharding, class_sharding, make_mesh,
+                                pad_to_multiple, replicated)
+from crfr.utils.logging import MetricsWriter
+
+
+def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
+    """Linear warmup → piecewise step drops at the configured epochs."""
+    t = cfg.train
+    boundaries = {e * steps_per_epoch: t.lr_drop_factor for e in t.lr_drop_epochs}
+    step_fn = optax.piecewise_constant_schedule(t.lr, boundaries)
+    if t.warmup_steps <= 0:
+        return step_fn
+    warm = optax.linear_schedule(0.0, t.lr, t.warmup_steps)
+    return optax.join_schedules([warm, step_fn], [t.warmup_steps])
+
+
+def _wd_mask(params) -> Any:
+    """True where weight decay applies: conv/linear kernels and head W only
+    (BN scale/bias, PReLU alpha, biases excluded — reference-family rule)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def decide(path) -> bool:
+        names = [getattr(p, "name", getattr(p, "key", str(p))) for p in path]
+        s = "/".join(str(n) for n in names)
+        if "kernel" in s or s.endswith("weight"):
+            return True
+        return False
+
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [decide(p) for p, _ in flat])
+
+
+class FaceTrainModel(nnx.Module):
+    """Backbone + margin head in one module so a single split/merge carries
+    all params, BN stats and rng state through the jitted step."""
+
+    def __init__(self, cfg: Config, *, rngs: nnx.Rngs):
+        mc, lc = cfg.model, cfg.loss
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
+        self.backbone = build_backbone(
+            mc.backbone, embedding_dim=mc.embedding_dim, dropout=mc.dropout,
+            input_size=mc.input_size, rngs=rngs, dtype=dtype)
+        # Pad classes so the class axis divides the model mesh axis.
+        c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)
+        self.head = MarginHead(mc.embedding_dim, c_pad,
+                               margin_type=lc.head, s=lc.scale, m=lc.margin,
+                               easy_margin=lc.easy_margin, rngs=rngs)
+
+
+# Train state is a plain dict pytree: {params, batch_stats, rng_state,
+# opt_state, step}. The (static) nnx graphdef lives on the Trainer, not in
+# the state, so the whole state jits/donates/checkpoints as arrays only.
+
+
+class Trainer:
+    """Owns mesh placement, the jitted step, metrics and (optional) teacher."""
+
+    def __init__(self, cfg: Config, mesh: Mesh | None = None,
+                 steps_per_epoch: int = 1000,
+                 metrics: MetricsWriter | None = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.metrics = metrics or MetricsWriter(stdout=False)
+        self.steps_per_epoch = steps_per_epoch
+
+        model = FaceTrainModel(cfg, rngs=nnx.Rngs(cfg.train.seed))
+        graphdef, params, batch_stats, rng_state = nnx.split(
+            model, nnx.Param, nnx.BatchStat, nnx.RngState)
+
+        self.schedule = lr_schedule(cfg, steps_per_epoch)
+        tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
+        if cfg.train.weight_decay:
+            tx = optax.chain(
+                optax.add_decayed_weights(cfg.train.weight_decay,
+                                          mask=_wd_mask(params)), tx)
+        if cfg.train.grad_clip_norm:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)
+        self.tx = tx
+
+        # --- mesh placement: params replicated EXCEPT head W class-sharded.
+        rep = replicated(self.mesh)
+        cls = class_sharding(self.mesh)
+
+        def place(path, x):
+            s = "/".join(str(getattr(p, "name", getattr(p, "key", p)))
+                         for p in path)
+            if "head" in s and "weight" in s and self.cfg.mesh.model > 1:
+                return jax.device_put(x, cls)
+            return jax.device_put(x, rep)
+
+        params = jax.tree_util.tree_map_with_path(place, params)
+        opt_state = self.tx.init(params)
+        opt_state = jax.device_put(opt_state, rep)  # scalar counts + momentum
+        # Momentum buffers for the sharded head W must follow W's sharding;
+        # re-place any leaf whose shape matches a sharded param.
+        if self.cfg.mesh.model > 1:
+            wshape = model.head.weight.value.shape
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, cls)
+                if hasattr(x, "shape") and tuple(x.shape) == tuple(wshape)
+                else x, opt_state)
+
+        self.graphdef = graphdef
+        self.state = {
+            "params": params,
+            "batch_stats": jax.device_put(batch_stats, rep),
+            "rng_state": jax.device_put(rng_state, rep),
+            "opt_state": opt_state,
+            "step": jax.device_put(jnp.zeros((), jnp.int32), rep),
+        }
+
+        if cfg.mesh.model > 1:
+            self._sharded_ce = sharded_margin_ce(
+                self.mesh, margin_type=cfg.loss.head, s=cfg.loss.scale,
+                m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin)
+        else:
+            self._sharded_ce = None
+
+        # Degradation operator table (L, S, S) for random multi-res aug.
+        dc = cfg.data
+        lows = list(range(dc.degrade_min, min(dc.degrade_max, dc.image_size) + 1))
+        self._degrade_lows = lows
+        table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
+                          for l in lows]) if lows else None
+        self._degrade_table = (jax.device_put(jnp.asarray(table), rep)
+                               if table is not None else None)
+
+        self._teacher_fn: Callable | None = None
+        self.distill_weight = cfg.loss.distill_weight
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+    def set_teacher(self, teacher_apply: Callable[[jax.Array], jax.Array]):
+        """Enable residual-KD: teacher_apply(hr_images_normalized) → (B, D).
+        Must be a pure jittable function (e.g. a frozen merged model)."""
+        self._teacher_fn = teacher_apply
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        graphdef = self.graphdef
+        sharded_ce = self._sharded_ce
+        table = self._degrade_table
+        n_lows = len(self._degrade_lows) if self._degrade_lows else 0
+        teacher_fn = self._teacher_fn
+        distill_w = cfg.loss.distill_weight
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state: dict, images, labels):
+            key = jax.random.fold_in(jax.random.key(cfg.train.seed),
+                                     state["step"])
+            model = nnx.merge(graphdef, state["params"],
+                              state["batch_stats"], state["rng_state"])
+
+            def loss_fn(model):
+                x = images.astype(jnp.float32)
+                if table is not None and n_lows > 1:
+                    idx = jax.random.randint(key, (), 0, n_lows)
+                    w = table[idx]
+                    x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
+                                   preferred_element_type=jnp.float32)
+                x = normalize(x)
+                emb = model.backbone(x, train=True)
+                if sharded_ce is not None:
+                    loss = sharded_ce(emb, labels, model.head.weight.value)
+                else:
+                    loss = model.head.loss(emb, labels)
+                if teacher_fn is not None and distill_w > 0:
+                    hr = normalize(images.astype(jnp.float32))
+                    t_emb = teacher_fn(hr)
+                    loss = loss + residual_kd_loss(emb, jnp.zeros_like(emb),
+                                                   t_emb, weight=distill_w)
+                return loss
+
+            # nnx.value_and_grad lifts the BN-stat / rng mutations correctly
+            # across the grad trace (raw jax.value_and_grad would trip
+            # "mutate from a different trace level" on BatchStat).
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            gnorm = optax.global_norm(grads)
+            params = nnx.state(model, nnx.Param)
+            updates, new_opt = tx.update(grads, state["opt_state"], params)
+            new_params = jax.tree_util.tree_map(jnp.add, params, updates)
+            nnx.update(model, new_params)
+            _, p2, b2, r2 = nnx.split(model, nnx.Param, nnx.BatchStat,
+                                      nnx.RngState)
+            new_state = {
+                "params": p2, "batch_stats": b2, "rng_state": r2,
+                "opt_state": new_opt, "step": state["step"] + 1,
+            }
+            return new_state, {"loss": loss, "grad_norm": gnorm}
+
+        return step_fn
+
+    # ------------------------------------------------------------------
+    def train_step(self, images, labels) -> dict[str, float]:
+        """One step. images (B, S, S, 3) uint8/f32 raw pixels, labels (B,)."""
+        bs = batch_sharding(self.mesh, 4)
+        ls = batch_sharding(self.mesh, 1)
+        images = jax.device_put(jnp.asarray(images), bs)
+        labels = jax.device_put(jnp.asarray(labels, jnp.int32), ls)
+        self.state, m = self._step_fn(self.state, images, labels)
+        return m
+
+    def fit(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
+            max_steps: int | None = None) -> dict[str, float]:
+        t0 = time.time()
+        n_img = 0
+        last: dict[str, float] = {}
+        for i, (images, labels) in enumerate(batches):
+            if max_steps is not None and i >= max_steps:
+                break
+            m = self.train_step(images, labels)
+            n_img += len(labels)
+            step = int(jax.device_get(self.state["step"]))
+            if step % self.cfg.train.log_every == 0 or (
+                    max_steps and i == max_steps - 1):
+                last = {k: float(jax.device_get(v)) for k, v in m.items()}
+                dt = time.time() - t0
+                self.metrics.write(step, imgs_per_sec=n_img / max(dt, 1e-9),
+                                   lr=float(self.schedule(step)), **last)
+        return last
+
+    # ------------------------------------------------------------------
+    @property
+    def model(self) -> FaceTrainModel:
+        return nnx.merge(self.graphdef, self.state["params"],
+                         self.state["batch_stats"], self.state["rng_state"])
+
+    def embed_fn(self):
+        """Jitted inference embed: raw (B,S,S,3) pixels → (B, D) f32."""
+        graphdef = self.graphdef
+        params = self.state["params"]
+        bn = self.state["batch_stats"]
+        rng = self.state["rng_state"]
+
+        @jax.jit
+        def f(images):
+            model = nnx.merge(graphdef, params, bn, rng)
+            return model.backbone(normalize(images), train=False)
+
+        return f
