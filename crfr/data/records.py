@@ -1,0 +1,179 @@
+"""Packed record IO for identity-labeled face datasets (SURVEY.md §2.1
+"Dataset readers": CASIA-WebFace ~0.49M imgs/10.5k ids, MS1M ~5.8M/85k).
+
+The reference family reads identity-folder trees or mxnet ``.rec`` packs;
+here the packed format is **ArrayRecord** (random-access, parallel-read — the
+TPU-ecosystem native container, pairs with Grain). Each record is a
+self-describing msgpack-free binary blob:
+
+    [u32 label][u16 fmt_len][fmt bytes: 'jpeg'|'png'|'raw'][u32 h][u32 w]
+    [payload bytes]
+
+'raw' payload is uint8 HWC pixels (already aligned 112×112 — the common case:
+alignment runs once at pack time, exactly like the reference family ships
+pre-aligned training sets); 'jpeg'/'png' are encoded images decoded by PIL at
+load time. A plain append-only ``.crfrpack`` fallback (same blob format with
+a [u64 offset] index footer) keeps everything usable if array_record is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+_HDR = struct.Struct("<IH")
+_DIMS = struct.Struct("<II")
+
+
+def encode_record(label: int, image: np.ndarray | bytes,
+                  fmt: str = "raw") -> bytes:
+    if isinstance(image, np.ndarray):
+        assert fmt == "raw" and image.dtype == np.uint8 and image.ndim == 3
+        h, w = image.shape[:2]
+        payload = image.tobytes()
+    else:
+        payload = image
+        h = w = 0
+    fmt_b = fmt.encode()
+    return (_HDR.pack(label, len(fmt_b)) + fmt_b + _DIMS.pack(h, w) + payload)
+
+
+def decode_record(blob: bytes) -> tuple[int, np.ndarray]:
+    label, fmt_len = _HDR.unpack_from(blob, 0)
+    off = _HDR.size
+    fmt = blob[off:off + fmt_len].decode()
+    off += fmt_len
+    h, w = _DIMS.unpack_from(blob, off)
+    off += _DIMS.size
+    payload = blob[off:]
+    if fmt == "raw":
+        img = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+    else:
+        from PIL import Image
+        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    return label, img
+
+
+# --------------------------- ArrayRecord -----------------------------------
+
+
+def write_array_record(path: str,
+                       records: Iterable[tuple[int, np.ndarray | bytes]],
+                       fmt: str = "raw") -> int:
+    """Write (label, image) pairs; returns count."""
+    from array_record.python.array_record_module import ArrayRecordWriter
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    w = ArrayRecordWriter(path, "group_size:1")
+    n = 0
+    try:
+        for label, img in records:
+            w.write(encode_record(int(label), img, fmt))
+            n += 1
+    finally:
+        w.close()
+    return n
+
+
+class ArrayRecordSource:
+    """Random-access source: source[i] → (label, image). Grain-compatible
+    (implements __len__ / __getitem__)."""
+
+    def __init__(self, path: str):
+        from array_record.python.array_record_module import ArrayRecordReader
+        self._reader = ArrayRecordReader(path)
+        self._n = self._reader.num_records()
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> tuple[int, np.ndarray]:
+        [blob] = self._reader.read([int(i)])
+        return decode_record(blob)
+
+
+# --------------------------- .crfrpack fallback ----------------------------
+
+
+def write_pack(path: str, records: Iterable[tuple[int, np.ndarray | bytes]],
+               fmt: str = "raw") -> int:
+    offsets: list[int] = []
+    with open(path, "wb") as f:
+        for label, img in records:
+            offsets.append(f.tell())
+            blob = encode_record(int(label), img, fmt)
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+        footer_off = f.tell()
+        for o in offsets:
+            f.write(struct.pack("<Q", o))
+        f.write(struct.pack("<QQ", len(offsets), footer_off))
+    return len(offsets)
+
+
+class PackSource:
+    """Thread-safe random-access reader: all reads are positional (os.pread),
+    so concurrent grain prefetch threads share one fd without seek races."""
+
+    def __init__(self, path: str):
+        self._fd = os.open(path, os.O_RDONLY)
+        end = os.lseek(self._fd, 0, os.SEEK_END)
+        n, footer_off = struct.unpack("<QQ", os.pread(self._fd, 16, end - 16))
+        self._offsets = struct.unpack(
+            f"<{n}Q", os.pread(self._fd, 8 * n, footer_off))
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def __getitem__(self, i: int) -> tuple[int, np.ndarray]:
+        off = self._offsets[i]
+        (ln,) = struct.unpack("<Q", os.pread(self._fd, 8, off))
+        return decode_record(os.pread(self._fd, ln, off + 8))
+
+    def __del__(self):
+        try:
+            os.close(self._fd)
+        except (OSError, AttributeError):
+            pass
+
+
+def open_source(path: str):
+    """Dispatch on extension: .array_record → ArrayRecordSource, else pack."""
+    if path.endswith((".array_record", ".arrayrecord")):
+        return ArrayRecordSource(path)
+    return PackSource(path)
+
+
+def pack_image_folder(root: str, out_path: str, size: int | None = 112,
+                      writer=write_array_record) -> tuple[int, int]:
+    """Pack an identity-folder tree (root/<identity>/<img>) into records.
+
+    Returns (num_images, num_identities). Folder names map to dense labels
+    in sorted order (the reference-family ImageFolder convention).
+    """
+    from PIL import Image
+
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    idx = {c: i for i, c in enumerate(classes)}
+
+    def gen() -> Iterator[tuple[int, np.ndarray]]:
+        for c in classes:
+            d = os.path.join(root, c)
+            for name in sorted(os.listdir(d)):
+                p = os.path.join(d, name)
+                try:
+                    img = Image.open(p).convert("RGB")
+                except OSError:
+                    continue
+                if size is not None and img.size != (size, size):
+                    img = img.resize((size, size), Image.BICUBIC)
+                yield idx[c], np.asarray(img, np.uint8)
+
+    n = writer(out_path, gen())
+    return n, len(classes)

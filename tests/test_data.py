@@ -1,0 +1,160 @@
+"""Data layer: record roundtrip, folder packing, protocol parsers, grain
+pipeline determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+from crfr.data.records import (PackSource, decode_record, encode_record,
+                               open_source, pack_image_folder, write_pack)
+from crfr.data.datasets import (FolderDataset, parse_lfw_pairs,
+                                parse_list_file, scface_split)
+from crfr.data.pipeline import PipelineCfg, embed_batches, make_train_dataset
+
+
+def _make_folder_tree(root, n_ids=3, n_per=4, size=32):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for i in range(n_ids):
+        d = root / f"id_{i:03d}"
+        d.mkdir(parents=True)
+        for j in range(n_per):
+            arr = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img_{j}.jpg")
+
+
+def test_record_roundtrip_raw(rng):
+    img = rng.integers(0, 256, (112, 112, 3)).astype(np.uint8)
+    label, out = decode_record(encode_record(7, img))
+    assert label == 7
+    np.testing.assert_array_equal(out, img)
+
+
+def test_record_roundtrip_png(rng):
+    import io
+    from PIL import Image
+
+    img = rng.integers(0, 256, (20, 20, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    label, out = decode_record(encode_record(3, buf.getvalue(), fmt="png"))
+    assert label == 3
+    np.testing.assert_array_equal(out, img)      # png is lossless
+
+
+def test_pack_write_read(tmp_path, rng):
+    recs = [(i % 5, rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+            for i in range(12)]
+    p = str(tmp_path / "x.crfrpack")
+    n = write_pack(p, iter(recs))
+    assert n == 12
+    src = PackSource(p)
+    assert len(src) == 12
+    for i in (0, 5, 11):
+        label, img = src[i]
+        assert label == recs[i][0]
+        np.testing.assert_array_equal(img, recs[i][1])
+
+
+def test_array_record_roundtrip(tmp_path, rng):
+    from crfr.data.records import ArrayRecordSource, write_array_record
+
+    recs = [(i, rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+            for i in range(5)]
+    p = str(tmp_path / "x.array_record")
+    assert write_array_record(p, iter(recs)) == 5
+    src = open_source(p)
+    assert isinstance(src, ArrayRecordSource)
+    label, img = src[3]
+    assert label == 3
+    np.testing.assert_array_equal(img, recs[3][1])
+
+
+def test_pack_image_folder(tmp_path):
+    _make_folder_tree(tmp_path / "train")
+    out = str(tmp_path / "packed.crfrpack")
+    n, c = pack_image_folder(str(tmp_path / "train"), out, size=32,
+                             writer=write_pack)
+    assert (n, c) == (12, 3)
+    src = open_source(out)
+    label, img = src[0]
+    assert label == 0 and img.shape == (32, 32, 3)
+
+
+def test_folder_dataset(tmp_path):
+    _make_folder_tree(tmp_path / "train")
+    ds = FolderDataset(str(tmp_path / "train"), size=32)
+    assert len(ds) == 12 and ds.num_classes == 3
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3) and label == 0
+    img, label = ds[11]
+    assert label == 2
+
+
+def test_lfw_pairs_parser(tmp_path):
+    pf = tmp_path / "pairs.txt"
+    pf.write_text("2 2\nAlice 1 2\nBob 1 3\nAlice 1 Bob 2\nCarol 1 Dave 1\n")
+    proto = parse_lfw_pairs(str(pf), "/lfw")
+    assert proto.n_folds == 2
+    assert proto.path1[0] == "/lfw/Alice/Alice_0001.jpg"
+    assert proto.path2[0] == "/lfw/Alice/Alice_0002.jpg"
+    np.testing.assert_array_equal(proto.issame, [True, True, False, False])
+    assert proto.path2[2] == "/lfw/Bob/Bob_0002.jpg"
+
+
+def test_list_file_and_scface(tmp_path):
+    lf = tmp_path / "list.txt"
+    lf.write_text("a/b.jpg 3\nc d.jpg 5\n")
+    paths, labels = parse_list_file(str(lf), "/root")
+    assert paths == ["/root/a/b.jpg", "/root/c d.jpg"]
+    np.testing.assert_array_equal(labels, [3, 5])
+
+    gdir = tmp_path / "mug"
+    pdir = tmp_path / "cams"
+    gdir.mkdir()
+    pdir.mkdir()
+    for i in (1, 2):
+        (gdir / f"{i:03d}_frontal.jpg").touch()
+        for cam in (1, 2):
+            for dist in (1, 2, 3):
+                (pdir / f"{i:03d}_cam{cam}_{dist}.jpg").touch()
+    split = scface_split(str(gdir), str(pdir), distance=2)
+    assert len(split.gallery_paths) == 2
+    assert len(split.probe_paths) == 4           # 2 ids × 2 cams at d2
+    assert set(split.probe_labels) == {1, 2}
+
+
+def test_grain_pipeline(tmp_path, rng):
+    recs = [(i % 3, rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+            for i in range(20)]
+    p = str(tmp_path / "t.crfrpack")
+    write_pack(p, iter(recs))
+    src = open_source(p)
+    cfg = PipelineCfg(batch_size=8, seed=0, num_epochs=None, num_workers=0)
+    it = iter(make_train_dataset(src, cfg))
+    imgs, labels = next(it)
+    assert imgs.shape == (8, 16, 16, 3) and imgs.dtype == np.uint8
+    assert labels.shape == (8,) and labels.dtype == np.int32
+    # determinism: same seed → same first batch
+    it2 = iter(make_train_dataset(src, cfg))
+    imgs2, labels2 = next(it2)
+    np.testing.assert_array_equal(imgs, imgs2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_embed_batches_padding(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (20, 20, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    batches = list(embed_batches(paths, batch_size=4, size=112))
+    assert len(batches) == 2
+    assert batches[0][0].shape == (4, 112, 112, 3) and batches[0][1] == 4
+    assert batches[1][0].shape == (4, 112, 112, 3) and batches[1][1] == 1
+    assert (batches[1][0][1:] == 0).all()
