@@ -1,0 +1,176 @@
+"""Student + residual-KD training driver (SURVEY.md §3.5, rebuilt TPU-first).
+
+One jitted step:
+
+  HR batch → teacher embedding t = T(hr)            (frozen, stop-grad)
+  HR batch → bicubic degrade (random or fixed low) → LR input
+  student: s = S(lr);  r = R(s)
+  L = CE(ArcFace(s, y)) + λ·‖(s + r) − t‖²
+
+Both forwards live in the same XLA program, so the teacher runs in bf16 on
+the same chip with zero host round-trips (the reference pays a second
+independent network pass — §3.5 "second network forward per step").
+
+The teacher is any pure callable (normalized pixels → embeddings); use
+``teacher_from_trainer``/``teacher_from_state`` to freeze a trained model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+from jax.sharding import Mesh
+
+from crfr.configs import Config
+from crfr.losses.arcface import MarginHead
+from crfr.losses.distill import residual_kd_loss
+from crfr.models.irse import build_backbone
+from crfr.models.residual import ResidualBranch
+from crfr.ops.bicubic import degrade_matrix
+from crfr.ops.normalize import normalize
+from crfr.parallel.mesh import batch_sharding, make_mesh, replicated
+from crfr.train.loop import lr_schedule
+from crfr.utils.logging import MetricsWriter
+
+
+def teacher_from_state(graphdef, *states) -> Callable:
+    """Freeze a split (graphdef, *states) backbone into a pure embed
+    callable (expects normalized pixels)."""
+
+    def f(x):
+        model = nnx.merge(graphdef, *states)
+        backbone = getattr(model, "backbone", model)
+        return jax.lax.stop_gradient(backbone(x, train=False))
+
+    return f
+
+
+def teacher_from_trainer(trainer) -> Callable:
+    return teacher_from_state(trainer.graphdef,
+                              trainer.state["params"],
+                              trainer.state["batch_stats"],
+                              trainer.state["rng_state"])
+
+
+class StudentModel(nnx.Module):
+    def __init__(self, cfg: Config, *, rngs: nnx.Rngs):
+        mc, lc = cfg.model, cfg.loss
+        dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
+        self.backbone = build_backbone(mc.backbone,
+                                       embedding_dim=mc.embedding_dim,
+                                       dropout=mc.dropout,
+                                       input_size=mc.input_size,
+                                       rngs=rngs, dtype=dtype)
+        self.residual = ResidualBranch(mc.embedding_dim, rngs=rngs)
+        self.head = MarginHead(mc.embedding_dim, cfg.data.num_classes,
+                               margin_type=lc.head, s=lc.scale, m=lc.margin,
+                               easy_margin=lc.easy_margin, rngs=rngs)
+
+
+class DistillTrainer:
+    def __init__(self, cfg: Config, teacher_fn: Callable,
+                 mesh: Mesh | None = None, steps_per_epoch: int = 1000,
+                 metrics: MetricsWriter | None = None,
+                 kd_normalize: bool = False):
+        """kd_normalize=True computes the KD distance on L2-normalized
+        embeddings — scale-invariant, useful when the teacher's feature-BN
+        statistics are not fully converged (raw-feature L2 follows the
+        paper's formulation and is the default)."""
+        assert cfg.loss.distill_weight > 0, "set loss.distill_weight > 0"
+        self.kd_normalize = kd_normalize
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.metrics = metrics or MetricsWriter(stdout=False)
+
+        student = StudentModel(cfg, rngs=nnx.Rngs(cfg.train.seed + 1))
+        self.graphdef, state = nnx.split(student)
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(state, rep)
+
+        self.schedule = lr_schedule(cfg, steps_per_epoch)
+        self.tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
+        self.opt_state = jax.device_put(
+            self.tx.init(nnx.state(student, nnx.Param)), rep)
+        self.step = 0
+
+        dc = cfg.data
+        lows = list(range(dc.degrade_min, min(dc.degrade_max, dc.image_size) + 1))
+        table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
+                          for l in lows])
+        self._table = jax.device_put(jnp.asarray(table), rep)
+        self._n_lows = len(lows)
+        self._step_fn = self._build_step(teacher_fn)
+
+    def _build_step(self, teacher_fn):
+        cfg = self.cfg
+        graphdef = self.graphdef
+        table, n_lows = self._table, self._n_lows
+        lam = cfg.loss.distill_weight
+        kd_norm = self.kd_normalize
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(state, opt_state, step, images, labels):
+            key = jax.random.fold_in(jax.random.key(cfg.train.seed + 7), step)
+            student = nnx.merge(graphdef, state)
+            x_hr = normalize(images.astype(jnp.float32))
+            t_emb = teacher_fn(x_hr)                       # frozen teacher
+            idx = jax.random.randint(key, (), 0, n_lows)
+            w = table[idx]
+            x_lr = jnp.einsum("oi,bijc,pj->bopc", w,
+                              images.astype(jnp.float32), w,
+                              preferred_element_type=jnp.float32)
+            x_lr = normalize(x_lr)
+
+            def loss_fn(student):
+                s = student.backbone(x_lr, train=True)
+                r = student.residual(s, train=True)
+                ce = student.head.loss(s, labels)
+                kd = residual_kd_loss(s, r, t_emb, weight=lam,
+                                      normalize=kd_norm)
+                return ce + kd, (ce, kd)
+
+            (loss, (ce, kd)), grads = nnx.value_and_grad(
+                loss_fn, has_aux=True)(student)
+            params = nnx.state(student, nnx.Param)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            nnx.update(student, jax.tree_util.tree_map(jnp.add, params, updates))
+            _, state = nnx.split(student)
+            return state, opt_state, {"loss": loss, "ce": ce, "kd": kd}
+
+        return step_fn
+
+    def train_step(self, images, labels) -> dict[str, float]:
+        bs = batch_sharding(self.mesh, 4)
+        ls = batch_sharding(self.mesh, 1)
+        images = jax.device_put(jnp.asarray(images), bs)
+        labels = jax.device_put(jnp.asarray(labels, jnp.int32), ls)
+        self.state, self.opt_state, m = self._step_fn(
+            self.state, self.opt_state, self.step, images, labels)
+        self.step += 1
+        if self.step % self.cfg.train.log_every == 0:
+            self.metrics.write(self.step,
+                               **{k: float(v) for k, v in m.items()})
+        return m
+
+    # ------------------------------------------------------------------
+    def student_embed_fn(self, with_residual: bool = False):
+        """Jitted: raw pixels → student embedding (optionally s + r)."""
+        graphdef, state = self.graphdef, self.state
+
+        @jax.jit
+        def f(images):
+            student = nnx.merge(graphdef, state)
+            s = student.backbone(normalize(jnp.asarray(images, jnp.float32)),
+                                 train=False)
+            if with_residual:
+                return s + student.residual(s, train=False)
+            return s
+
+        return f

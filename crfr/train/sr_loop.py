@@ -1,0 +1,177 @@
+"""Hallucinator (SR GAN) training driver — SURVEY.md §3.2 rebuilt TPU-first.
+
+One jitted program per G-step and D-step, alternating; each step:
+
+  HR batch (device) → bicubic↓ (matmul operator) → LR
+  G: sr, coarse, priors = Hallucinator(LR)
+     L_G = w_px·‖sr−hr‖ + w_adv·LSGAN(D(sr)) + w_id·‖T̂(sr)−T̂(hr)‖
+           + w_pr·‖priors − priors_target(hr)‖  (+ coarse pixel anchor)
+  D: L_D = LSGAN(D(hr), D(sr.stop_grad))
+
+The paired LR/HR loader of the reference (§3.2 "paired loader") disappears:
+LR is synthesized on device from the HR batch with the same composed bicubic
+operators as the eval protocol — one fewer host pipeline, bit-consistent
+degradation semantics between train and eval.
+
+The teacher (frozen recognition backbone) and the prior-target function are
+injected as pure jittable callables, both optional.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+from jax.sharding import Mesh
+
+from crfr.configs import Config
+from crfr.losses import gan as gl
+from crfr.models.sr import Discriminator, Hallucinator
+from crfr.ops.bicubic import resize_matrix
+from crfr.ops.normalize import normalize
+from crfr.parallel.mesh import batch_sharding, make_mesh, replicated
+from crfr.utils.logging import MetricsWriter
+
+
+class SRTrainer:
+    def __init__(self, cfg: Config, scale: int = 8, n_priors: int = 16,
+                 mesh: Mesh | None = None, lr_g: float = 1e-4,
+                 lr_d: float = 1e-4, teacher_fn: Callable | None = None,
+                 prior_target_fn: Callable | None = None,
+                 metrics: MetricsWriter | None = None,
+                 adv_mode: str = "lsgan"):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.metrics = metrics or MetricsWriter(stdout=False)
+        self.scale = scale
+        size = cfg.data.image_size
+        assert size % scale == 0
+        self.lr_size = size // scale
+
+        gen = Hallucinator(scale=scale, n_priors=n_priors, rngs=nnx.Rngs(0))
+        disc = Discriminator(rngs=nnx.Rngs(1))
+        self.g_graphdef, g_state = nnx.split(gen)
+        self.d_graphdef, d_state = nnx.split(disc)
+
+        self.g_tx = optax.adam(lr_g, b1=0.9, b2=0.99)
+        self.d_tx = optax.adam(lr_d, b1=0.9, b2=0.99)
+
+        rep = replicated(self.mesh)
+        self.g_state = jax.device_put(g_state, rep)
+        self.d_state = jax.device_put(d_state, rep)
+        self.g_opt = jax.device_put(self.g_tx.init(
+            nnx.state(gen, nnx.Param)), rep)
+        self.d_opt = jax.device_put(self.d_tx.init(
+            nnx.state(disc, nnx.Param)), rep)
+        self.step = 0
+
+        # Downsample operator HR→LR (f32 'pil' semantics, as in eval).
+        self._down = jax.device_put(
+            jnp.asarray(resize_matrix(size, self.lr_size,
+                                      cfg.data.resize_mode)), rep)
+
+        self.teacher_fn = teacher_fn
+        self.prior_target_fn = prior_target_fn
+        lc = cfg.loss
+        self.weights = dict(px=lc.sr_pixel_weight, adv=lc.sr_adv_weight,
+                            id=lc.sr_identity_weight, pr=lc.sr_prior_weight)
+        self.adv_mode = adv_mode
+        self._g_step, self._d_step = self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        g_graphdef, d_graphdef = self.g_graphdef, self.d_graphdef
+        down = self._down
+        w = self.weights
+        teacher_fn = self.teacher_fn
+        prior_target_fn = self.prior_target_fn
+        adv_mode = self.adv_mode
+        g_tx, d_tx = self.g_tx, self.d_tx
+
+        def degrade(hr):
+            # hr in [-1, 1] normalized space; operator is linear so it
+            # applies directly.
+            return jnp.einsum("oi,bijc,pj->bopc", down, hr, down,
+                              preferred_element_type=jnp.float32)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def g_step(g_state, g_opt, d_state, hr):
+            gen = nnx.merge(g_graphdef, g_state)
+            disc = nnx.merge(d_graphdef, d_state)
+            lr = degrade(hr)
+
+            def loss_fn(gen):
+                sr, coarse, priors = gen(lr, train=True)
+                loss = w["px"] * (gl.pixel_loss(sr, hr)
+                                  + 0.5 * gl.pixel_loss(coarse, hr))
+                logits = disc(sr, train=False)
+                loss = loss + w["adv"] * gl.adversarial_g_loss(logits, adv_mode)
+                if teacher_fn is not None and w["id"] > 0:
+                    loss = loss + w["id"] * gl.identity_loss(
+                        teacher_fn(sr), teacher_fn(hr))
+                if prior_target_fn is not None and w["pr"] > 0:
+                    loss = loss + w["pr"] * gl.prior_loss(
+                        priors, prior_target_fn(hr))
+                return loss, sr
+
+            (loss, sr), grads = nnx.value_and_grad(loss_fn, has_aux=True)(gen)
+            params = nnx.state(gen, nnx.Param)
+            updates, g_opt = g_tx.update(grads, g_opt, params)
+            nnx.update(gen, jax.tree_util.tree_map(jnp.add, params, updates))
+            _, g_state = nnx.split(gen)
+            return g_state, g_opt, loss, jax.lax.stop_gradient(sr)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def d_step(d_state, d_opt, hr, sr):
+            disc = nnx.merge(d_graphdef, d_state)
+
+            def loss_fn(disc):
+                return gl.adversarial_d_loss(disc(hr, train=True),
+                                             disc(sr, train=True), adv_mode)
+
+            loss, grads = nnx.value_and_grad(loss_fn)(disc)
+            params = nnx.state(disc, nnx.Param)
+            updates, d_opt = d_tx.update(grads, d_opt, params)
+            nnx.update(disc, jax.tree_util.tree_map(jnp.add, params, updates))
+            _, d_state = nnx.split(disc)
+            return d_state, d_opt, loss
+
+        return g_step, d_step
+
+    # ------------------------------------------------------------------
+    def train_step(self, hr_images) -> dict[str, float]:
+        """hr_images: raw pixels (B,S,S,3) uint8/f32; one G step + one D step."""
+        bs = batch_sharding(self.mesh, 4)
+        hr = jax.device_put(normalize(jnp.asarray(hr_images, jnp.float32)), bs)
+        self.g_state, self.g_opt, g_loss, sr = self._g_step(
+            self.g_state, self.g_opt, self.d_state, hr)
+        self.d_state, self.d_opt, d_loss = self._d_step(
+            self.d_state, self.d_opt, hr, sr)
+        self.step += 1
+        if self.step % self.cfg.train.log_every == 0:
+            self.metrics.write(self.step, g_loss=float(g_loss),
+                               d_loss=float(d_loss))
+        return {"g_loss": g_loss, "d_loss": d_loss}
+
+    # ------------------------------------------------------------------
+    def generator(self) -> Hallucinator:
+        return nnx.merge(self.g_graphdef, self.g_state)
+
+    def sr_fn(self):
+        """Jitted inference: raw LR pixels (B,s,s,3) → SR pixels [0,255]."""
+        g_graphdef, g_state = self.g_graphdef, self.g_state
+
+        @jax.jit
+        def f(lr_images):
+            gen = nnx.merge(g_graphdef, g_state)
+            sr, _, _ = gen(normalize(jnp.asarray(lr_images, jnp.float32)),
+                           train=False)
+            from crfr.ops.normalize import denormalize
+            return jnp.clip(denormalize(sr), 0.0, 255.0)
+
+        return f
