@@ -1,0 +1,315 @@
+"""Command-line drivers — the rebuild's equivalents of the reference's
+``train.py`` / ``eval_*.py`` entry points (SURVEY.md §1 L5/L6, §3 call
+stacks). One binary, subcommands:
+
+    python -m crfr train --preset casia_arcface data.train_records=...
+    python -m crfr train-sr --preset casia_arcface ...
+    python -m crfr train-distill --teacher-ckpt DIR ...
+    python -m crfr eval-verification --ckpt DIR --pairs pairs.txt --lfw-root R
+    python -m crfr eval-scface --ckpt DIR --gallery G --probes P --distance 2
+    python -m crfr eval-openset --ckpt DIR --gallery-list .. --mated-list ..
+    python -m crfr eval-ijbc ...
+    python -m crfr pack --root IMAGE_TREE --out records.array_record
+    python -m crfr bench
+
+Every trainer writes JSONL metrics and Orbax checkpoints; every eval prints
+a single JSON object to stdout (machine-readable, like bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _split_overrides(extra):
+    return [a for a in extra if "=" in a and not a.startswith("-")]
+
+
+def _load_cfg(args, extra):
+    from crfr.configs import get_config
+    return get_config(args.preset, _split_overrides(extra))
+
+
+def _source_or_synthetic(cfg, path: str | None):
+    if path:
+        from crfr.data.records import open_source
+        return open_source(path), None
+    from crfr.data.synthetic import SyntheticFaces
+    data = SyntheticFaces(num_classes=cfg.data.num_classes,
+                          image_size=cfg.data.image_size)
+    return None, data
+
+
+def cmd_train(args, extra) -> int:
+    import jax
+    from crfr.data.pipeline import PipelineCfg, train_batches
+    from crfr.train.checkpoints import Checkpointer
+    from crfr.train.loop import Trainer
+    from crfr.utils.logging import MetricsWriter
+
+    cfg = _load_cfg(args, extra)
+    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
+                                         "metrics.jsonl"))
+    tr = Trainer(cfg, steps_per_epoch=args.steps_per_epoch, metrics=metrics)
+    ck = Checkpointer(cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints)
+    if args.resume and ck.latest_step() is not None:
+        tr.state = ck.restore(tr.state)
+        print(f"resumed from step {ck.latest_step()}", file=sys.stderr)
+
+    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
+    start = int(jax.device_get(tr.state["step"]))
+    if source is not None:
+        batches = train_batches(source, PipelineCfg(
+            batch_size=cfg.train.batch_size, seed=cfg.train.seed,
+            random_flip=cfg.data.random_flip, num_workers=args.workers),
+            start_step=start)
+    else:
+        batches = synth.batches(cfg.train.batch_size, args.max_steps,
+                                seed=cfg.train.seed)
+
+    for i, (imgs, labels) in enumerate(batches):
+        if args.max_steps and i + start >= args.max_steps:
+            break
+        tr.train_step(imgs, labels)
+        step = int(jax.device_get(tr.state["step"]))
+        if step % cfg.train.checkpoint_every_steps == 0:
+            ck.save(step, tr.state, cfg.to_json())
+    step = int(jax.device_get(tr.state["step"]))
+    if ck.latest_step() != step:      # last loop save may already cover it
+        ck.save(step, tr.state, cfg.to_json(), force=True)
+    ck.close()
+    print(json.dumps({"final_step": step}))
+    return 0
+
+
+def cmd_train_sr(args, extra) -> int:
+    from crfr.train.sr_loop import SRTrainer
+    from crfr.utils.logging import MetricsWriter
+
+    cfg = _load_cfg(args, extra)
+    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
+                                         "sr_metrics.jsonl"))
+    tr = SRTrainer(cfg, scale=args.scale, metrics=metrics)
+    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
+    if source is not None:
+        from crfr.data.pipeline import PipelineCfg, train_batches
+        batches = ((imgs, None) for imgs, _ in train_batches(
+            source, PipelineCfg(batch_size=cfg.train.batch_size,
+                                seed=cfg.train.seed)))
+    else:
+        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
+    m = {}
+    for i, (imgs, _) in enumerate(batches):
+        if args.max_steps and i >= args.max_steps:
+            break
+        m = tr.train_step(imgs)
+    print(json.dumps({"g_loss": float(m.get("g_loss", float("nan"))),
+                      "d_loss": float(m.get("d_loss", float("nan"))),
+                      "steps": tr.step}))
+    return 0
+
+
+def cmd_train_distill(args, extra) -> int:
+    import jax
+    from crfr.train.checkpoints import Checkpointer
+    from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+    from crfr.train.loop import Trainer
+    from crfr.utils.logging import MetricsWriter
+    from crfr.configs import Config
+
+    cfg = _load_cfg(args, extra)
+    if cfg.loss.distill_weight <= 0:
+        cfg = cfg.override(**{"loss.distill_weight": args.kd_weight})
+
+    tck = Checkpointer(args.teacher_ckpt, keep=1)
+    tcfg_dict = tck.restore_config()
+    tcfg = Config.from_dict(tcfg_dict) if tcfg_dict else cfg
+    teacher_tr = Trainer(tcfg, steps_per_epoch=1000)
+    teacher_tr.state = tck.restore(teacher_tr.state)
+
+    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
+                                         "distill_metrics.jsonl"))
+    st = DistillTrainer(cfg, teacher_from_trainer(teacher_tr),
+                        metrics=metrics)
+    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
+    if source is not None:
+        from crfr.data.pipeline import PipelineCfg, train_batches
+        batches = train_batches(source, PipelineCfg(
+            batch_size=cfg.train.batch_size, seed=cfg.train.seed))
+    else:
+        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
+    m = {}
+    for i, (imgs, labels) in enumerate(batches):
+        if args.max_steps and i >= args.max_steps:
+            break
+        m = st.train_step(imgs, labels)
+    print(json.dumps({k: float(jax.device_get(v)) for k, v in m.items()}
+                     | {"steps": st.step}))
+    return 0
+
+
+def _embed_fn_from_ckpt(args, extra):
+    """Rebuild a Trainer from config+checkpoint → jitted raw-pixel embed."""
+    import jax
+    from crfr.train.checkpoints import Checkpointer
+    from crfr.train.loop import Trainer
+    from crfr.configs import Config
+
+    ck = Checkpointer(args.ckpt, keep=1)
+    cfg_dict = ck.restore_config()
+    if cfg_dict is not None:
+        cfg = Config.from_dict(cfg_dict)
+    else:
+        cfg = _load_cfg(args, extra)
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    tr.state = ck.restore(tr.state)
+    return tr, cfg
+
+
+def cmd_eval_verification(args, extra) -> int:
+    import jax.numpy as jnp
+    from crfr.data.datasets import parse_lfw_pairs
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    from crfr.eval.verification import evaluate_verification
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    proto = parse_lfw_pairs(args.pairs, args.lfw_root)
+    embed = tr.embed_fn()
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         degrade_to=args.degrade or cfg.data.eval_degrade_size,
+                         resize_mode=cfg.data.resize_mode,
+                         flip_fusion=cfg.eval.flip_fusion)
+    e1 = extract_embeddings(proto.path1, fn, cfg.eval.batch_size)
+    e2 = extract_embeddings(proto.path2, fn, cfg.eval.batch_size)
+    res = evaluate_verification(e1, e2, proto.issame, proto.n_folds,
+                                cfg.eval.far_targets)
+    print(json.dumps({"accuracy": res.accuracy_mean, "std": res.accuracy_std,
+                      "tar_at_far": res.tar_at_far}))
+    return 0
+
+
+def cmd_eval_scface(args, extra) -> int:
+    from crfr.data.datasets import scface_split
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    from crfr.eval.identification import closed_set_identification
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    split = scface_split(args.gallery, args.probes, args.distance)
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         flip_fusion=cfg.eval.flip_fusion)
+    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size)
+    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size)
+    res = closed_set_identification(p, g, split.probe_labels,
+                                    split.gallery_labels)
+    print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist()}))
+    return 0
+
+
+def cmd_eval_openset(args, extra) -> int:
+    from crfr.data.datasets import open_set_split
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    from crfr.eval.identification import open_set_identification
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    split = open_set_split(args.gallery_list, args.mated_list,
+                           args.unmated_list, args.root)
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         flip_fusion=cfg.eval.flip_fusion)
+    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size)
+    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size)
+    res = open_set_identification(p, g, split.probe_labels,
+                                  split.gallery_labels, split.probe_mated,
+                                  cfg.eval.fpir_targets)
+    print(json.dumps({"rank1": res.rank1, "tpir_at_fpir": res.tpir_at_fpir}))
+    return 0
+
+
+def cmd_pack(args, extra) -> int:
+    from crfr.data.records import pack_image_folder, write_array_record, write_pack
+
+    writer = write_pack if args.out.endswith(".crfrpack") else write_array_record
+    n, c = pack_image_folder(args.root, args.out, size=args.size,
+                             writer=writer)
+    print(json.dumps({"images": n, "identities": c, "out": args.out}))
+    return 0
+
+
+def cmd_bench(args, extra) -> int:
+    from crfr.bench.throughput import run_throughput
+
+    res = run_throughput(batch=args.batch, steps=args.steps)
+    print(json.dumps({"imgs_per_sec": res.imgs_per_sec,
+                      "per_batch_ms": res.per_batch_ms}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="crfr")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train")
+    p.add_argument("--preset", default="casia_arcface")
+    p.add_argument("--max-steps", type=int, default=0)
+    p.add_argument("--steps-per-epoch", type=int, default=1000)
+    p.add_argument("--workers", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-sr")
+    p.add_argument("--preset", default="casia_arcface")
+    p.add_argument("--scale", type=int, default=8)
+    p.add_argument("--max-steps", type=int, default=0)
+    p.set_defaults(fn=cmd_train_sr)
+
+    p = sub.add_parser("train-distill")
+    p.add_argument("--preset", default="casia_arcface")
+    p.add_argument("--teacher-ckpt", required=True)
+    p.add_argument("--kd-weight", type=float, default=1.0)
+    p.add_argument("--max-steps", type=int, default=0)
+    p.set_defaults(fn=cmd_train_distill)
+
+    p = sub.add_parser("eval-verification")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--pairs", required=True)
+    p.add_argument("--lfw-root", required=True)
+    p.add_argument("--preset", default="lfw_ir50_16px")
+    p.add_argument("--degrade", type=int, default=0)
+    p.set_defaults(fn=cmd_eval_verification)
+
+    p = sub.add_parser("eval-scface")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--gallery", required=True)
+    p.add_argument("--probes", required=True)
+    p.add_argument("--distance", type=int, default=1, choices=(1, 2, 3))
+    p.add_argument("--preset", default="scface")
+    p.set_defaults(fn=cmd_eval_scface)
+
+    p = sub.add_parser("eval-openset")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--gallery-list", required=True)
+    p.add_argument("--mated-list", required=True)
+    p.add_argument("--unmated-list", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--preset", default="tinyface_survface")
+    p.set_defaults(fn=cmd_eval_openset)
+
+    p = sub.add_parser("pack")
+    p.add_argument("--root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", type=int, default=112)
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=30)
+    p.set_defaults(fn=cmd_bench)
+
+    args, extra = ap.parse_known_args(argv)
+    return args.fn(args, extra)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
