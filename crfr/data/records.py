@@ -135,10 +135,11 @@ class PackSource:
         (ln,) = struct.unpack("<Q", os.pread(self._fd, 8, off))
         return decode_record(os.pread(self._fd, ln, off + 8))
 
-    def __del__(self):
+    def __del__(self, _close=os.close):
+        # default-arg capture: os may already be torn down at interpreter exit
         try:
-            os.close(self._fd)
-        except (OSError, AttributeError):
+            _close(self._fd)
+        except (OSError, AttributeError, TypeError):
             pass
 
 
@@ -147,6 +148,48 @@ def open_source(path: str):
     if path.endswith((".array_record", ".arrayrecord")):
         return ArrayRecordSource(path)
     return PackSource(path)
+
+
+def pack_aligned_list(list_file: str, out_path: str, root: str = "",
+                      out_size: int = 112,
+                      writer=write_array_record) -> int:
+    """Pack a landmarked list into ALIGNED records using the native
+    (C++) solve+warp path — the pack-time equivalent of the reference's
+    MTCNN-alignment stage (detection itself is upstream; each line carries
+    its 5 landmarks):
+
+        <path> <label> x1 y1 x2 y2 x3 y3 x4 y4 x5 y5
+
+    Falls back to the JAX ops path when no C++ toolchain is available.
+    """
+    from PIL import Image
+
+    from crfr import native
+
+    use_native = native.available()
+
+    def gen() -> Iterator[tuple[int, np.ndarray]]:
+        with open(list_file) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) != 12:
+                    continue
+                path = os.path.join(root, parts[0])
+                label = int(parts[1])
+                lm = np.asarray(parts[2:], np.float32).reshape(5, 2)
+                img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+                if use_native:
+                    aligned = native.align_crop(img, lm, out_size=out_size)
+                else:
+                    import jax.numpy as jnp
+                    from crfr.ops.warp import align_crop as jax_align
+                    a = jax_align(jnp.asarray(img, jnp.float32),
+                                  jnp.asarray(lm), out_size)
+                    aligned = np.clip(np.floor(np.asarray(a) + 0.5),
+                                      0, 255).astype(np.uint8)
+                yield label, aligned
+
+    return writer(out_path, gen())
 
 
 def pack_image_folder(root: str, out_path: str, size: int | None = 112,
