@@ -250,7 +250,12 @@ class Trainer:
         return m
 
     def fit(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
-            max_steps: int | None = None) -> dict[str, float]:
+            max_steps: int | None = None,
+            eval_fn: Callable[["Trainer"], dict] | None = None
+            ) -> dict[str, float]:
+        """Run the train loop. ``eval_fn(trainer) -> {metric: value}`` is the
+        in-training evaluation hook (reference §3.1 "every N: evaluate(lfw)"),
+        invoked every cfg.train.eval_every_steps and logged to metrics."""
         t0 = time.time()
         n_img = 0
         last: dict[str, float] = {}
@@ -262,10 +267,17 @@ class Trainer:
             step = int(jax.device_get(self.state["step"]))
             if step % self.cfg.train.log_every == 0 or (
                     max_steps and i == max_steps - 1):
-                last = {k: float(jax.device_get(v)) for k, v in m.items()}
+                scalars = {k: float(jax.device_get(v)) for k, v in m.items()}
+                last.update(scalars)
                 dt = time.time() - t0
                 self.metrics.write(step, imgs_per_sec=n_img / max(dt, 1e-9),
-                                   lr=float(self.schedule(step)), **last)
+                                   lr=float(self.schedule(step)), **scalars)
+            if (eval_fn is not None
+                    and step % self.cfg.train.eval_every_steps == 0):
+                ev = eval_fn(self)
+                self.metrics.write(step, **{f"eval_{k}": v
+                                            for k, v in ev.items()})
+                last.update(ev)
         return last
 
     # ------------------------------------------------------------------

@@ -121,6 +121,24 @@ def test_checkpoint_roundtrip(tmp_path):
     ck.close()
 
 
+def test_fit_eval_hook(trained):
+    """In-training eval hook fires every eval_every_steps and merges into
+    the returned metrics."""
+    cfg, data, _, _ = trained
+    cfg2 = cfg.override(**{"train.eval_every_steps": 2,
+                           "train.log_every": 100})
+    tr = Trainer(cfg2, steps_per_epoch=100)
+    calls = []
+
+    def eval_fn(trainer):
+        calls.append(int(jax.device_get(trainer.state["step"])))
+        return {"probe": 1.0}
+
+    last = tr.fit(data.batches(16, 5, seed=11), max_steps=5, eval_fn=eval_fn)
+    assert calls == [2, 4]
+    assert last.get("probe") == 1.0
+
+
 def test_mesh_default_uses_all_devices():
     mesh = make_mesh()
     assert mesh.devices.size == len(jax.devices())
