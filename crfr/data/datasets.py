@@ -96,6 +96,22 @@ def parse_lfw_pairs(pairs_file: str, lfw_root: str,
     return PairsProtocol(p1, p2, np.asarray(same), n_folds)
 
 
+def parse_generic_pairs(pairs_file: str, root: str = "") -> PairsProtocol:
+    """Generic explicit-path pairs list: ``path1 path2 issame`` per line
+    (the CFP-FP / AgeDB / CALFW-style bin-free protocols all flatten to
+    this). issame parses 1/0/true/false."""
+    p1, p2, same = [], [], []
+    with open(pairs_file) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) != 3:
+                continue
+            p1.append(os.path.join(root, parts[0]))
+            p2.append(os.path.join(root, parts[1]))
+            same.append(parts[2].lower() in ("1", "true", "t", "yes"))
+    return PairsProtocol(p1, p2, np.asarray(same))
+
+
 @dataclass
 class ProbeGallerySplit:
     gallery_paths: list[str]

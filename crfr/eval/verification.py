@@ -35,6 +35,27 @@ class VerificationResult:
     best_thresholds: np.ndarray          # (n_folds,) distance thresholds
     tar_at_far: dict[float, float]       # target FAR → measured TAR
     fold_accuracies: np.ndarray
+    eer: float = float("nan")            # equal-error rate (global, no folds)
+
+
+def compute_eer(dist: np.ndarray, issame: np.ndarray) -> float:
+    """Equal-error rate: the operating point where FAR == FRR, linearly
+    interpolated on the sorted genuine/impostor distance distributions."""
+    dist = np.asarray(dist)
+    issame = np.asarray(issame, bool)
+    pos = np.sort(dist[issame])          # genuine distances (small = accept)
+    neg = np.sort(dist[~issame])
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    vals = np.unique(np.concatenate([pos, neg]))
+    # candidate thresholds BETWEEN observed values (accept iff d < t), plus
+    # the outer extremes — otherwise separated distributions miss the gap.
+    ts = np.concatenate([[vals[0] - 1], (vals[:-1] + vals[1:]) / 2,
+                         [vals[-1] + 1]])
+    frr = 1.0 - np.searchsorted(pos, ts, "left") / len(pos)
+    far = np.searchsorted(neg, ts, "right") / len(neg)  # accepted impostors
+    k = np.argmin(np.abs(far - frr))
+    return float((far[k] + frr[k]) / 2)
 
 
 def fuse_flip_features(emb: jax.Array, emb_flip: jax.Array,
@@ -160,4 +181,5 @@ def evaluate_verification(emb1, emb2, issame, n_folds: int = 10,
         tar_at_far={float(t): float(tar[:, i].mean())
                     for i, t in enumerate(far_targets)},
         fold_accuracies=fa,
+        eer=compute_eer(np.asarray(dist), np.asarray(issame)),
     )
