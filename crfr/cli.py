@@ -182,8 +182,8 @@ def cmd_eval_verification(args, extra) -> int:
                          degrade_to=args.degrade or cfg.data.eval_degrade_size,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion)
-    e1 = extract_embeddings(proto.path1, fn, cfg.eval.batch_size)
-    e2 = extract_embeddings(proto.path2, fn, cfg.eval.batch_size)
+    e1 = extract_embeddings(proto.path1, fn, cfg.eval.batch_size, cfg.model.input_size)
+    e2 = extract_embeddings(proto.path2, fn, cfg.eval.batch_size, cfg.model.input_size)
     res = evaluate_verification(e1, e2, proto.issame, proto.n_folds,
                                 cfg.eval.far_targets)
     print(json.dumps({"accuracy": res.accuracy_mean, "std": res.accuracy_std,
@@ -200,8 +200,8 @@ def cmd_eval_scface(args, extra) -> int:
     split = scface_split(args.gallery, args.probes, args.distance)
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
                          flip_fusion=cfg.eval.flip_fusion)
-    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size)
-    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size)
+    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
+    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
     res = closed_set_identification(p, g, split.probe_labels,
                                     split.gallery_labels)
     print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist()}))
@@ -218,12 +218,78 @@ def cmd_eval_openset(args, extra) -> int:
                            args.unmated_list, args.root)
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
                          flip_fusion=cfg.eval.flip_fusion)
-    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size)
-    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size)
+    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
+    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
     res = open_set_identification(p, g, split.probe_labels,
                                   split.gallery_labels, split.probe_mated,
                                   cfg.eval.fpir_targets)
     print(json.dumps({"rank1": res.rank1, "tpir_at_fpir": res.tpir_at_fpir}))
+    return 0
+
+
+def cmd_eval_ijbc(args, extra) -> int:
+    """IJB-C: --meta CSV 'path template_id media_id subject_id' per line;
+    --pairs 't1 t2 label' per line for 1:1; --gallery-templates /
+    --probe-templates subject-id lists for 1:N (optional)."""
+    import numpy as np
+
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    from crfr.eval.ijbc import ijbc_11
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    paths, tids, mids, sids = [], [], [], []
+    with open(args.meta) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) < 4:
+                continue
+            paths.append(os.path.join(args.root, parts[0]))
+            tids.append(int(parts[1]))
+            mids.append(int(parts[2]))
+            sids.append(int(parts[3]))
+    t1, t2, lab = [], [], []
+    with open(args.pairs) as f:
+        for ln in f:
+            parts = ln.split()
+            if len(parts) == 3:
+                t1.append(int(parts[0]))
+                t2.append(int(parts[1]))
+                lab.append(int(parts[2]))
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         flip_fusion=cfg.eval.flip_fusion)
+    embs = extract_embeddings(paths, fn, cfg.eval.batch_size, cfg.model.input_size)
+    res = ijbc_11(embs, np.asarray(tids), np.asarray(mids),
+                  np.asarray(t1), np.asarray(t2), np.asarray(lab))
+    print(json.dumps({"tar_at_far": res.tar_at_far}))
+    return 0
+
+
+def cmd_import_torch(args, extra) -> int:
+    """Import a face.evoLVe-convention torch checkpoint into an Orbax
+    checkpoint directory usable by every crfr eval/train driver."""
+    import torch
+
+    from crfr.train.checkpoints import Checkpointer
+    from crfr.train.loop import Trainer
+    from crfr.train.torch_import import load_face_evolve_state_dict
+
+    cfg = _load_cfg(args, extra)
+    sd = torch.load(args.torch_ckpt, map_location="cpu",
+                    weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    model = tr.model
+    load_face_evolve_state_dict(model.backbone, sd)
+    from flax import nnx
+    _, params, bstats, rngs = nnx.split(model, nnx.Param, nnx.BatchStat,
+                                        nnx.RngState)
+    tr.state["params"] = params
+    tr.state["batch_stats"] = bstats
+    ck = Checkpointer(args.out, keep=1)
+    ck.save(0, tr.state, cfg.to_json(), force=True)
+    ck.close()
+    print(json.dumps({"out": args.out, "keys": len(sd)}))
     return 0
 
 
@@ -295,6 +361,20 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="")
     p.add_argument("--preset", default="tinyface_survface")
     p.set_defaults(fn=cmd_eval_openset)
+
+    p = sub.add_parser("eval-ijbc")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--meta", required=True)
+    p.add_argument("--pairs", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--preset", default="ms1m_ijbc")
+    p.set_defaults(fn=cmd_eval_ijbc)
+
+    p = sub.add_parser("import-torch")
+    p.add_argument("--torch-ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--preset", default="casia_arcface")
+    p.set_defaults(fn=cmd_import_torch)
 
     p = sub.add_parser("pack")
     p.add_argument("--root", required=True)
