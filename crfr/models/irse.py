@@ -172,11 +172,17 @@ class IRBackbone(nnx.Module):
 def build_backbone(name: str = "ir_50", *, embedding_dim: int = 512,
                    dropout: float = 0.4, input_size: int = 112,
                    rngs: nnx.Rngs | None = None,
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32) -> IRBackbone:
-    """Factory: 'ir_50', 'ir_se_101'-style names → IRBackbone."""
+                   dtype=jnp.bfloat16, param_dtype=jnp.float32):
+    """Factory: 'ir_50' / 'ir_se_101' → IRBackbone; 'mobilefacenet' →
+    MobileFaceNet."""
     if rngs is None:
         rngs = nnx.Rngs(0)
     parts = name.lower().split("_")
+    if parts[0] == "mobilefacenet":
+        from crfr.models.mobilefacenet import MobileFaceNet
+        return MobileFaceNet(embedding_dim=embedding_dim,
+                             input_size=input_size, rngs=rngs, dtype=dtype,
+                             param_dtype=param_dtype)
     if parts[0] != "ir":
         raise ValueError(f"unknown backbone {name!r}")
     use_se = "se" in parts
