@@ -61,14 +61,28 @@ def cmd_train(args, extra) -> int:
 
     source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
     start = int(jax.device_get(tr.state["step"]))
+    data_state_path = os.path.join(cfg.train.checkpoint_dir,
+                                   "data_state.json")
     if source is not None:
+        data_state = None
+        if args.resume and start and os.path.exists(data_state_path):
+            with open(data_state_path) as f:
+                saved = json.load(f)
+            if saved.get("step") == start:     # exact-match resume only
+                data_state = saved["state"]
         batches = train_batches(source, PipelineCfg(
             batch_size=cfg.train.batch_size, seed=cfg.train.seed,
             random_flip=cfg.data.random_flip, num_workers=args.workers),
-            start_step=start)
+            start_step=start, state=data_state)
     else:
         batches = synth.batches(cfg.train.batch_size, args.max_steps,
                                 seed=cfg.train.seed)
+
+    def save(step: int, force: bool = False):
+        ck.save(step, tr.state, cfg.to_json(), force=force)
+        if source is not None:
+            with open(data_state_path, "w") as f:
+                json.dump({"step": step, "state": batches.get_state()}, f)
 
     for i, (imgs, labels) in enumerate(batches):
         if args.max_steps and i + start >= args.max_steps:
@@ -76,10 +90,10 @@ def cmd_train(args, extra) -> int:
         tr.train_step(imgs, labels)
         step = int(jax.device_get(tr.state["step"]))
         if step % cfg.train.checkpoint_every_steps == 0:
-            ck.save(step, tr.state, cfg.to_json())
+            save(step)
     step = int(jax.device_get(tr.state["step"]))
     if ck.latest_step() != step:      # last loop save may already cover it
-        ck.save(step, tr.state, cfg.to_json(), force=True)
+        save(step, force=True)
     ck.close()
     print(json.dumps({"final_step": step}))
     return 0

@@ -46,6 +46,10 @@ class DataCfg:
     # range; eval configs pin a single size (e.g. 16 for the LFW-LR protocol).
     degrade_min: int = 8
     degrade_max: int = 112
+    # True: every sample draws its own random resolution (reference
+    # semantics, batched-matmul einsum); False: one resolution per batch
+    # (single shared operator — marginally cheaper).
+    per_sample_degrade: bool = True
     eval_degrade_size: int | None = None     # None → no degradation at eval
     # Bicubic semantics. 'pil' (a=-0.5, antialias on downscale) or 'cv2'
     # (a=-0.75, no antialias). Reference semantics unknown (mount empty —
@@ -96,6 +100,7 @@ class TrainCfg:
     momentum: float = 0.9
     weight_decay: float = 5e-4
     warmup_steps: int = 1000
+    schedule: str = "step"                 # step (reference) | cosine
     lr_drop_epochs: tuple[int, ...] = (10, 18, 22)
     lr_drop_factor: float = 0.1
     seed: int = 42

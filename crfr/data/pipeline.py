@@ -68,16 +68,40 @@ def make_train_dataset(source, cfg: PipelineCfg):
     return it
 
 
-def train_batches(source, cfg: PipelineCfg,
-                  start_step: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Iterator of (images u8 (B,S,S,3), labels i32 (B,)); skips the first
-    ``start_step`` batches on resume (cheap index skip, no decode)."""
-    it = iter(make_train_dataset(source, cfg))
-    for _ in range(start_step):
-        next(it)        # grain iterators support O(1)-ish skipping via state;
-                        # for simplicity we draw and drop (index-only sampler)
-    for imgs, labels in it:
-        yield imgs, labels
+class ResumableBatches:
+    """Iterator of (images u8 (B,S,S,3), labels i32 (B,)) with EXACT
+    checkpointable position (grain iterator state — O(1) resume, no
+    draw-and-drop replay)."""
+
+    def __init__(self, source, cfg: PipelineCfg):
+        self._it = iter(make_train_dataset(source, cfg))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def get_state(self) -> dict:
+        return self._it.get_state()
+
+    def set_state(self, state: dict) -> None:
+        self._it.set_state(state)
+
+
+def train_batches(source, cfg: PipelineCfg, start_step: int = 0,
+                  state: dict | None = None) -> ResumableBatches:
+    """Build the train iterator. Exact resume: pass the ``state`` captured
+    by ``ResumableBatches.get_state`` at checkpoint time. Fallback: with
+    only ``start_step``, draws-and-drops that many batches (exact order,
+    O(step) decode cost)."""
+    it = ResumableBatches(source, cfg)
+    if state is not None:
+        it.set_state(state)
+    else:
+        for _ in range(start_step):
+            next(it)
+    return it
 
 
 def embed_batches(paths: Sequence[str], batch_size: int, size: int = 112,

@@ -121,11 +121,17 @@ class DistillTrainer:
             student = nnx.merge(graphdef, state)
             x_hr = normalize(images.astype(jnp.float32))
             t_emb = teacher_fn(x_hr)                       # frozen teacher
-            idx = jax.random.randint(key, (), 0, n_lows)
-            w = table[idx]
-            x_lr = jnp.einsum("oi,bijc,pj->bopc", w,
-                              images.astype(jnp.float32), w,
-                              preferred_element_type=jnp.float32)
+            xf = images.astype(jnp.float32)
+            if cfg.data.per_sample_degrade:
+                idx = jax.random.randint(key, (xf.shape[0],), 0, n_lows)
+                w = table[idx]
+                x_lr = jnp.einsum("boi,bijc,bpj->bopc", w, xf, w,
+                                  preferred_element_type=jnp.float32)
+            else:
+                idx = jax.random.randint(key, (), 0, n_lows)
+                w = table[idx]
+                x_lr = jnp.einsum("oi,bijc,pj->bopc", w, xf, w,
+                                  preferred_element_type=jnp.float32)
             x_lr = normalize(x_lr)
 
             def loss_fn(student):

@@ -49,14 +49,20 @@ from crfr.utils.logging import MetricsWriter
 
 
 def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
-    """Linear warmup → piecewise step drops at the configured epochs."""
+    """Linear warmup → step drops (reference convention) or cosine decay
+    (cfg.train.schedule)."""
     t = cfg.train
-    boundaries = {e * steps_per_epoch: t.lr_drop_factor for e in t.lr_drop_epochs}
-    step_fn = optax.piecewise_constant_schedule(t.lr, boundaries)
+    if getattr(t, "schedule", "step") == "cosine":
+        total = max(t.epochs * steps_per_epoch - t.warmup_steps, 1)
+        main = optax.cosine_decay_schedule(t.lr, total)
+    else:
+        boundaries = {e * steps_per_epoch: t.lr_drop_factor
+                      for e in t.lr_drop_epochs}
+        main = optax.piecewise_constant_schedule(t.lr, boundaries)
     if t.warmup_steps <= 0:
-        return step_fn
+        return main
     warm = optax.linear_schedule(0.0, t.lr, t.warmup_steps)
-    return optax.join_schedules([warm, step_fn], [t.warmup_steps])
+    return optax.join_schedules([warm, main], [t.warmup_steps])
 
 
 def _wd_mask(params) -> Any:
@@ -203,10 +209,16 @@ class Trainer:
             def loss_fn(model):
                 x = images.astype(jnp.float32)
                 if table is not None and n_lows > 1:
-                    idx = jax.random.randint(key, (), 0, n_lows)
-                    w = table[idx]
-                    x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
-                                   preferred_element_type=jnp.float32)
+                    if cfg.data.per_sample_degrade:
+                        idx = jax.random.randint(key, (x.shape[0],), 0, n_lows)
+                        w = table[idx]                       # (B, S, S)
+                        x = jnp.einsum("boi,bijc,bpj->bopc", w, x, w,
+                                       preferred_element_type=jnp.float32)
+                    else:
+                        idx = jax.random.randint(key, (), 0, n_lows)
+                        w = table[idx]
+                        x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
+                                       preferred_element_type=jnp.float32)
                 x = normalize(x)
                 emb = model.backbone(x, train=True)
                 if sharded_ce is not None:
