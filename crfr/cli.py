@@ -184,7 +184,6 @@ def _embed_fn_from_ckpt(args, extra):
 
 
 def cmd_eval_verification(args, extra) -> int:
-    import jax.numpy as jnp
     from crfr.data.datasets import parse_lfw_pairs
     from crfr.eval.extract import extract_embeddings, make_extract_fn
     from crfr.eval.verification import evaluate_verification

@@ -14,7 +14,7 @@ from checkpoint step S re-creates the exact remaining epoch order.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

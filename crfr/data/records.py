@@ -22,7 +22,7 @@ from __future__ import annotations
 import io
 import os
 import struct
-from typing import Iterable, Iterator, Sequence
+from typing import Iterable, Iterator
 
 import numpy as np
 

@@ -15,15 +15,33 @@ import numpy as np
 
 class SyntheticFaces:
     def __init__(self, num_classes: int = 8, image_size: int = 112,
-                 seed: int = 0, coarse: int = 7):
+                 seed: int = 0, coarse: int = 7, fine_detail: bool = False,
+                 fine: int = 28, fine_weight: float = 35.0):
+        """fine_detail=True makes identity live at FINE spatial scales (a
+        per-identity high-frequency pattern on a shared coarse background) —
+        bicubic degradation then genuinely destroys identity information,
+        which is the regime the cross-resolution methods (hallucination,
+        residual KD) exist for. Default (False): identity is coarse-scale
+        and survives degradation (easy, good for fast integration tests)."""
         self.num_classes = num_classes
         self.image_size = image_size
         rng = np.random.default_rng(seed)
-        # Low-frequency prototypes: coarse grid upsampled bilinearly.
-        base = rng.uniform(40, 215, size=(num_classes, coarse, coarse, 3))
-        self.prototypes = np.stack([
-            _bilinear_upsample(base[i], image_size) for i in range(num_classes)
-        ]).astype(np.float32)
+        if fine_detail:
+            shared = _bilinear_upsample(
+                rng.uniform(60, 195, size=(coarse, coarse, 3)), image_size)
+            protos = []
+            for i in range(num_classes):
+                detail = _bilinear_upsample(
+                    rng.uniform(-1, 1, size=(fine, fine, 3)), image_size)
+                protos.append(shared + fine_weight * detail)
+            self.prototypes = np.clip(np.stack(protos), 0, 255).astype(np.float32)
+        else:
+            # Low-frequency prototypes: coarse grid upsampled bilinearly.
+            base = rng.uniform(40, 215, size=(num_classes, coarse, coarse, 3))
+            self.prototypes = np.stack([
+                _bilinear_upsample(base[i], image_size)
+                for i in range(num_classes)
+            ]).astype(np.float32)
 
     def sample(self, rng: np.random.Generator, n: int):
         """→ (images (n,S,S,3) float32 in [0,255], labels (n,) int32)."""

@@ -14,7 +14,6 @@ time, not at pod-rollout time.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct

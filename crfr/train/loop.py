@@ -25,7 +25,6 @@ stream).
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from functools import partial
 from typing import Any, Callable, Iterator
@@ -35,10 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import nnx
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from crfr.configs import Config
-from crfr.losses.arcface import MarginHead, sharded_margin_ce, softmax_ce
+from crfr.losses.arcface import MarginHead, sharded_margin_ce
 from crfr.losses.distill import residual_kd_loss
 from crfr.models.irse import build_backbone
 from crfr.ops.bicubic import degrade_matrix

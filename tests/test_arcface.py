@@ -76,6 +76,27 @@ def test_head_module(rng):
     assert np.isfinite(float(loss))
 
 
+def test_streaming_ce_matches_dense(rng):
+    from crfr.losses.arcface import streaming_margin_ce
+
+    B, D, C = 16, 32, 100           # non-multiple of block on purpose
+    emb = jnp.asarray(rng.normal(0, 1, (B, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (D, C)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, B))
+
+    def dense(emb, w):
+        return softmax_ce(margin_logits(emb, w, labels), labels)
+
+    def stream(emb, w):
+        return streaming_margin_ce(emb, w, labels, block=32)
+
+    assert abs(float(stream(emb, w)) - float(dense(emb, w))) < 1e-5
+    gs = jax.grad(stream, argnums=(0, 1))(emb, w)
+    gd = jax.grad(dense, argnums=(0, 1))(emb, w)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gd[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]), atol=1e-5)
+
+
 # --------------------------- sharded CE ------------------------------------
 
 
