@@ -83,6 +83,11 @@ class LossCfg:
     scale: float = 64.0                    # s
     margin: float = 0.5                    # m (additive angular)
     easy_margin: bool = False
+    # CE implementation: 'auto' → sharded when mesh.model>1, streaming when
+    # num_classes>ce_streaming_threshold on one chip, else dense.
+    ce_impl: str = "auto"                  # auto|dense|streaming|sharded
+    ce_streaming_threshold: int = 32768
+    ce_block: int = 8192                   # class-block size for streaming
     # Residual knowledge distillation (the paper's titular contribution).
     distill_weight: float = 0.0            # λ · ‖(student+residual) − teacher‖²
     # SR / hallucination losses (prior-aided GAN).

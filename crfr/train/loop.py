@@ -160,12 +160,26 @@ class Trainer:
             "step": jax.device_put(jnp.zeros((), jnp.int32), rep),
         }
 
-        if cfg.mesh.model > 1:
+        # CE implementation selection (cfg.loss.ce_impl):
+        #   sharded   — PartialFC over the 'model' mesh axis
+        #   streaming — flash-softmax class-block scan (single-chip big-C)
+        #   dense     — one (B, C) GEMM
+        impl = cfg.loss.ce_impl
+        if impl == "auto":
+            if cfg.mesh.model > 1:
+                impl = "sharded"
+            elif cfg.data.num_classes > cfg.loss.ce_streaming_threshold:
+                impl = "streaming"
+            else:
+                impl = "dense"
+        if impl == "sharded":
+            assert cfg.mesh.model > 1, "sharded CE needs mesh.model > 1"
             self._sharded_ce = sharded_margin_ce(
                 self.mesh, margin_type=cfg.loss.head, s=cfg.loss.scale,
                 m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin)
         else:
             self._sharded_ce = None
+        self._ce_impl = impl
 
         # Degradation operator table (L, S, S) for random multi-res aug.
         dc = cfg.data
@@ -192,6 +206,7 @@ class Trainer:
         cfg = self.cfg
         graphdef = self.graphdef
         sharded_ce = self._sharded_ce
+        ce_impl = self._ce_impl
         table = self._degrade_table
         n_lows = len(self._degrade_lows) if self._degrade_lows else 0
         teacher_fn = self._teacher_fn
@@ -222,6 +237,13 @@ class Trainer:
                 emb = model.backbone(x, train=True)
                 if sharded_ce is not None:
                     loss = sharded_ce(emb, labels, model.head.weight.value)
+                elif ce_impl == "streaming":
+                    from crfr.losses.arcface import streaming_margin_ce
+                    loss = streaming_margin_ce(
+                        emb, model.head.weight.value, labels,
+                        margin_type=cfg.loss.head, s=cfg.loss.scale,
+                        m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
+                        block=cfg.loss.ce_block)
                 else:
                     loss = model.head.loss(emb, labels)
                 if teacher_fn is not None and distill_w > 0:

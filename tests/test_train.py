@@ -121,6 +121,21 @@ def test_checkpoint_roundtrip(tmp_path):
     ck.close()
 
 
+def test_streaming_ce_impl_in_trainer():
+    """loss.ce_impl=streaming trains and matches the dense first-step loss."""
+    data = SyntheticFaces(num_classes=6, image_size=32, seed=2)
+    imgs, labels = next(data.batches(16, 1, seed=4))
+    losses = {}
+    for impl in ("dense", "streaming"):
+        cfg = _tiny_cfg(num_classes=6)
+        cfg = cfg.override(**{"loss.ce_impl": impl, "loss.ce_block": 4})
+        tr = Trainer(cfg, steps_per_epoch=100)
+        assert tr._ce_impl == impl
+        m = tr.train_step(imgs, labels)
+        losses[impl] = float(jax.device_get(m["loss"]))
+    assert abs(losses["dense"] - losses["streaming"]) < 1e-3, losses
+
+
 def test_fit_eval_hook(trained):
     """In-training eval hook fires every eval_every_steps and merges into
     the returned metrics."""
