@@ -240,6 +240,25 @@ def cmd_eval_openset(args, extra) -> int:
     return 0
 
 
+def cmd_eval_bin(args, extra) -> int:
+    """insightface .bin verification set (lfw.bin / cfp_fp.bin / agedb.bin)."""
+    from crfr.data.bins import evaluate_bin
+    from crfr.eval.extract import make_extract_fn
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         degrade_to=args.degrade or cfg.data.eval_degrade_size,
+                         resize_mode=cfg.data.resize_mode,
+                         flip_fusion=cfg.eval.flip_fusion,
+                         image_size=cfg.model.input_size)
+    res = evaluate_bin(args.bin, fn, cfg.eval.batch_size,
+                       cfg.model.input_size, cfg.eval.n_folds,
+                       cfg.eval.far_targets)
+    print(json.dumps({"accuracy": res.accuracy_mean, "std": res.accuracy_std,
+                      "eer": res.eer, "tar_at_far": res.tar_at_far}))
+    return 0
+
+
 def cmd_eval_ijbc(args, extra) -> int:
     """IJB-C: --meta CSV 'path template_id media_id subject_id' per line;
     --pairs 't1 t2 label' per line for 1:1; --gallery-templates /
@@ -374,6 +393,13 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="")
     p.add_argument("--preset", default="tinyface_survface")
     p.set_defaults(fn=cmd_eval_openset)
+
+    p = sub.add_parser("eval-bin")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--bin", required=True)
+    p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--preset", default="lfw_ir50_16px")
+    p.set_defaults(fn=cmd_eval_bin)
 
     p = sub.add_parser("eval-ijbc")
     p.add_argument("--ckpt", required=True)
