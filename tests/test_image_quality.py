@@ -1,0 +1,75 @@
+"""PSNR/SSIM vs known values and skimage golden; landmark heatmaps."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from crfr.eval.image_quality import psnr, ssim
+from crfr.ops.heatmaps import landmark_heatmaps
+
+
+def test_psnr_known_values(rng):
+    a = rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    # identical → inf-ish (capped by eps): > 100 dB
+    assert float(psnr(jnp.asarray(a), jnp.asarray(a))[0]) > 100
+    # known mse: b = a + 10 → mse=100 → psnr = 10*log10(255^2/100) = 28.13
+    b = a + 10.0
+    np.testing.assert_allclose(np.asarray(psnr(jnp.asarray(a), jnp.asarray(b))),
+                               28.1308, atol=1e-3)
+
+
+def test_ssim_extremes(rng):
+    a = rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32)
+    s = float(ssim(jnp.asarray(a), jnp.asarray(a))[0])
+    assert s == pytest.approx(1.0, abs=1e-5)
+    inv = 255.0 - a
+    assert float(ssim(jnp.asarray(a), jnp.asarray(inv))[0]) < 0.2
+
+
+def test_ssim_matches_skimage(rng):
+    skimage = pytest.importorskip("skimage.metrics")
+    a = rng.uniform(0, 255, (40, 40)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 20, a.shape), 0, 255).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a)[None, :, :, None],
+                      jnp.asarray(b)[None, :, :, None])[0])
+    ref = skimage.structural_similarity(
+        a, b, data_range=255.0, gaussian_weights=True, sigma=1.5,
+        use_sample_covariance=False)
+    assert ours == pytest.approx(ref, abs=5e-3)
+
+
+def test_landmark_heatmaps(rng):
+    lm = np.array([[[10.0, 20.0], [50.0, 60.0]]], np.float32)   # (1, 2, 2)
+    h = np.asarray(landmark_heatmaps(jnp.asarray(lm), size=64, sigma=2.0))
+    assert h.shape == (1, 64, 64, 2)
+    # unit peak at the landmark (note: x is column, y is row)
+    assert h[0, 20, 10, 0] == pytest.approx(1.0, abs=1e-5)
+    assert h[0, 60, 50, 1] == pytest.approx(1.0, abs=1e-5)
+    assert h[0].max() <= 1.0 + 1e-6
+    # mass decays away from the peak
+    assert h[0, 20, 30, 0] < 1e-8
+
+
+def test_prior_target_with_sr_trainer(rng):
+    """SRTrainer accepts the landmark prior target and the prior loss wires."""
+    from crfr.configs import Config, DataCfg, LossCfg, ModelCfg, TrainCfg
+    from crfr.data.synthetic import SyntheticFaces
+    from crfr.ops.heatmaps import prior_target_fn
+    from crfr.train.sr_loop import SRTrainer
+
+    cfg = Config(
+        name="prior-test",
+        data=DataCfg(image_size=32, num_classes=4),
+        model=ModelCfg(backbone="ir_18", compute_dtype="float32",
+                       dropout=0.0, input_size=32),
+        loss=LossCfg(sr_prior_weight=1.0, sr_identity_weight=0.0),
+        train=TrainCfg(batch_size=4, log_every=100))
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    lm = rng.uniform(4, 28, (4, 4, 2)).astype(np.float32)
+    tr = SRTrainer(cfg, scale=4, n_priors=4,
+                   prior_target_fn=prior_target_fn(jnp.asarray(lm), size=32))
+    imgs, _ = data.sample(np.random.default_rng(1), 4)
+    import jax
+    m = tr.train_step(imgs)
+    assert np.isfinite(float(jax.device_get(m["g_loss"])))
