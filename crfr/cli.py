@@ -190,17 +190,27 @@ def cmd_eval_verification(args, extra) -> int:
 
     tr, cfg = _embed_fn_from_ckpt(args, extra)
     proto = parse_lfw_pairs(args.pairs, args.lfw_root)
-    embed = tr.embed_fn()
-    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                         degrade_to=args.degrade or cfg.data.eval_degrade_size,
-                         resize_mode=cfg.data.resize_mode,
-                         flip_fusion=cfg.eval.flip_fusion)
-    e1 = extract_embeddings(proto.path1, fn, cfg.eval.batch_size, cfg.model.input_size)
-    e2 = extract_embeddings(proto.path2, fn, cfg.eval.batch_size, cfg.model.input_size)
+    degrade = args.degrade or cfg.data.eval_degrade_size
+    backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
+    kw = dict(resize_mode=cfg.data.resize_mode,
+              flip_fusion=cfg.eval.flip_fusion,
+              image_size=cfg.model.input_size)
+    fn_hr = make_extract_fn(backbone, degrade_to=None, **kw)
+    fn_lr = make_extract_fn(backbone, degrade_to=degrade, **kw)
+    # Cross-resolution protocol: degrade only the PROBE side of each pair
+    # (--degrade-side second, BASELINE "16×16→112 bicubic probe
+    # degradation"); 'both' reproduces symmetric-LR protocols.
+    side = args.degrade_side if degrade else "none"
+    f1 = fn_lr if side in ("first", "both") else fn_hr
+    f2 = fn_lr if side in ("second", "both") else fn_hr
+    e1 = extract_embeddings(proto.path1, f1, cfg.eval.batch_size,
+                            cfg.model.input_size)
+    e2 = extract_embeddings(proto.path2, f2, cfg.eval.batch_size,
+                            cfg.model.input_size)
     res = evaluate_verification(e1, e2, proto.issame, proto.n_folds,
                                 cfg.eval.far_targets)
     print(json.dumps({"accuracy": res.accuracy_mean, "std": res.accuracy_std,
-                      "tar_at_far": res.tar_at_far}))
+                      "eer": res.eer, "tar_at_far": res.tar_at_far}))
     return 0
 
 
@@ -375,6 +385,8 @@ def main(argv=None) -> int:
     p.add_argument("--lfw-root", required=True)
     p.add_argument("--preset", default="lfw_ir50_16px")
     p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--degrade-side", default="second",
+                   choices=("first", "second", "both"))
     p.set_defaults(fn=cmd_eval_verification)
 
     p = sub.add_parser("eval-scface")
