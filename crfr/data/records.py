@@ -82,18 +82,35 @@ def write_array_record(path: str,
 
 class ArrayRecordSource:
     """Random-access source: source[i] → (label, image). Grain-compatible
-    (implements __len__ / __getitem__)."""
+    (implements __len__ / __getitem__); pickles by path so it crosses into
+    grain worker processes (reader reopened lazily per process)."""
 
     def __init__(self, path: str):
-        from array_record.python.array_record_module import ArrayRecordReader
-        self._reader = ArrayRecordReader(path)
-        self._n = self._reader.num_records()
+        self._path = os.path.abspath(path)
+        self._reader = None
+        self._pid = -1
+        self._n = self._get_reader().num_records()
+
+    def _get_reader(self):
+        if self._reader is None or self._pid != os.getpid():
+            from array_record.python.array_record_module import ArrayRecordReader
+            self._reader = ArrayRecordReader(self._path)
+            self._pid = os.getpid()
+        return self._reader
+
+    def __getstate__(self):
+        return {"_path": self._path, "_n": self._n}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._reader = None
+        self._pid = -1
 
     def __len__(self) -> int:
         return self._n
 
     def __getitem__(self, i: int) -> tuple[int, np.ndarray]:
-        [blob] = self._reader.read([int(i)])
+        [blob] = self._get_reader().read([int(i)])
         return decode_record(blob)
 
 
@@ -117,28 +134,49 @@ def write_pack(path: str, records: Iterable[tuple[int, np.ndarray | bytes]],
 
 
 class PackSource:
-    """Thread-safe random-access reader: all reads are positional (os.pread),
-    so concurrent grain prefetch threads share one fd without seek races."""
+    """Thread- AND process-safe random-access reader: all reads are
+    positional (os.pread) so prefetch threads share one fd without seek
+    races, and the fd is (re)opened lazily per process so the source
+    pickles cleanly into grain worker processes."""
 
     def __init__(self, path: str):
-        self._fd = os.open(path, os.O_RDONLY)
-        end = os.lseek(self._fd, 0, os.SEEK_END)
-        n, footer_off = struct.unpack("<QQ", os.pread(self._fd, 16, end - 16))
+        self._path = os.path.abspath(path)
+        self._fd = -1
+        self._pid = -1
+        fd = self._get_fd()
+        end = os.lseek(fd, 0, os.SEEK_END)
+        n, footer_off = struct.unpack("<QQ", os.pread(fd, 16, end - 16))
         self._offsets = struct.unpack(
-            f"<{n}Q", os.pread(self._fd, 8 * n, footer_off))
+            f"<{n}Q", os.pread(fd, 8 * n, footer_off))
+
+    def _get_fd(self) -> int:
+        if self._fd < 0 or self._pid != os.getpid():
+            self._fd = os.open(self._path, os.O_RDONLY)
+            self._pid = os.getpid()
+        return self._fd
+
+    def __getstate__(self):
+        return {"_path": self._path, "_offsets": self._offsets}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._fd = -1
+        self._pid = -1
 
     def __len__(self) -> int:
         return len(self._offsets)
 
     def __getitem__(self, i: int) -> tuple[int, np.ndarray]:
+        fd = self._get_fd()
         off = self._offsets[i]
-        (ln,) = struct.unpack("<Q", os.pread(self._fd, 8, off))
-        return decode_record(os.pread(self._fd, ln, off + 8))
+        (ln,) = struct.unpack("<Q", os.pread(fd, 8, off))
+        return decode_record(os.pread(fd, ln, off + 8))
 
     def __del__(self, _close=os.close):
         # default-arg capture: os may already be torn down at interpreter exit
         try:
-            _close(self._fd)
+            if self._fd >= 0 and self._pid == os.getpid():
+                _close(self._fd)
         except (OSError, AttributeError, TypeError):
             pass
 

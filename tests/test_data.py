@@ -144,6 +144,27 @@ def test_grain_pipeline(tmp_path, rng):
     np.testing.assert_array_equal(labels, labels2)
 
 
+def test_sources_pickle_for_workers(tmp_path, rng):
+    """Both record sources must pickle by path (grain worker processes) and
+    read correctly after unpickling in-process."""
+    import pickle
+
+    from crfr.data.records import write_array_record
+
+    recs = [(i, rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+            for i in range(6)]
+    for writer, name in ((write_pack, "a.crfrpack"),
+                         (write_array_record, "a.array_record")):
+        p = str(tmp_path / name)
+        writer(p, iter(recs))
+        src = open_source(p)
+        _ = src[1]
+        clone = pickle.loads(pickle.dumps(src))
+        label, img = clone[2]
+        assert label == 2
+        np.testing.assert_array_equal(img, recs[2][1])
+
+
 def test_embed_batches_padding(tmp_path):
     from PIL import Image
 
