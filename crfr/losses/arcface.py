@@ -77,13 +77,23 @@ def _apply_margin(cos: jax.Array, is_target: jax.Array, *, margin_type: str,
 
 def margin_logits(emb: jax.Array, weight: jax.Array, labels: jax.Array, *,
                   margin_type: str = "arcface", s: float = 64.0, m: float = 0.5,
-                  easy_margin: bool = False) -> jax.Array:
-    """Dense (unsharded) margin logits (B, C), f32, scaled by s."""
+                  easy_margin: bool = False,
+                  num_valid: int | None = None) -> jax.Array:
+    """Dense (unsharded) margin logits (B, C), f32, scaled by s.
+
+    ``num_valid``: when W carries padding classes (class axis padded to a
+    mesh-divisible size), classes ≥ num_valid are masked to −inf so ghost
+    classes never enter the softmax denominator.
+    """
     cos = cosine_logits(emb, weight)
     one_hot = jax.nn.one_hot(labels, weight.shape[1], dtype=jnp.bool_)
     phi = _apply_margin(cos, one_hot, margin_type=margin_type, m=m,
                         easy_margin=easy_margin)
-    return phi * s
+    logits = phi * s
+    if num_valid is not None and num_valid < weight.shape[1]:
+        valid = jnp.arange(weight.shape[1]) < num_valid
+        logits = jnp.where(valid[None, :], logits, -jnp.inf)
+    return logits
 
 
 def softmax_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -99,7 +109,8 @@ class MarginHead(nnx.Module):
 
     def __init__(self, embedding_dim: int, num_classes: int, *,
                  margin_type: str = "arcface", s: float = 64.0, m: float = 0.5,
-                 easy_margin: bool = False, rngs: nnx.Rngs):
+                 easy_margin: bool = False, num_valid: int | None = None,
+                 rngs: nnx.Rngs):
         scale = math.sqrt(6.0 / (embedding_dim + num_classes))
         self.weight = nnx.Param(jax.random.uniform(
             rngs.params(), (embedding_dim, num_classes), jnp.float32,
@@ -108,11 +119,13 @@ class MarginHead(nnx.Module):
         self.s = s
         self.m = m
         self.easy_margin = easy_margin
+        self.num_valid = num_valid          # < num_classes when padded
 
     def __call__(self, emb: jax.Array, labels: jax.Array) -> jax.Array:
         return margin_logits(emb, self.weight.value, labels,
                              margin_type=self.margin_type, s=self.s, m=self.m,
-                             easy_margin=self.easy_margin)
+                             easy_margin=self.easy_margin,
+                             num_valid=self.num_valid)
 
     def loss(self, emb: jax.Array, labels: jax.Array) -> jax.Array:
         return softmax_ce(self(emb, labels), labels)
@@ -126,7 +139,8 @@ class MarginHead(nnx.Module):
 def streaming_margin_ce(emb: jax.Array, weight: jax.Array, labels: jax.Array,
                         *, margin_type: str = "arcface", s: float = 64.0,
                         m: float = 0.5, easy_margin: bool = False,
-                        block: int = 8192) -> jax.Array:
+                        block: int = 8192,
+                        num_valid: int | None = None) -> jax.Array:
     """Margin-softmax CE WITHOUT materializing the (B, C) logit matrix.
 
     lax.scan streams over class blocks keeping a running (max, sum-exp,
@@ -141,11 +155,12 @@ def streaming_margin_ce(emb: jax.Array, weight: jax.Array, labels: jax.Array,
     e = _l2_normalize(emb.astype(jnp.float32))                 # (B, D)
     w = _l2_normalize(weight.astype(jnp.float32), axis=0)      # (D, C)
     c = w.shape[1]
+    c_valid = num_valid if num_valid is not None else c
     nblocks = -(-c // block)
     pad = nblocks * block - c
     w = jnp.pad(w, ((0, 0), (0, pad)))
     wb = w.reshape(w.shape[0], nblocks, block).transpose(1, 0, 2)  # (N,D,blk)
-    valid = (jnp.arange(nblocks * block) < c).reshape(nblocks, block)
+    valid = (jnp.arange(nblocks * block) < c_valid).reshape(nblocks, block)
     labels = labels.astype(jnp.int32)
     b = e.shape[0]
 
@@ -189,7 +204,8 @@ def streaming_margin_ce(emb: jax.Array, weight: jax.Array, labels: jax.Array,
 
 
 def _sharded_ce_body(emb, labels, weight, *, axis: str, margin_type: str,
-                     s: float, m: float, easy_margin: bool):
+                     s: float, m: float, easy_margin: bool,
+                     num_valid: int | None = None):
     """Per-shard body under shard_map.
 
     emb (B_local, D) — sharded over 'data', replicated over 'model'.
@@ -209,6 +225,10 @@ def _sharded_ce_body(emb, labels, weight, *, axis: str, margin_type: str,
     phi = _apply_margin(cos, one_hot, margin_type=margin_type, m=m,
                         easy_margin=easy_margin)
     logits = phi * s                                       # (B, C_local)
+    if num_valid is not None:
+        # mask padding classes (global index ≥ num_valid) out of the softmax
+        gidx = offset + jnp.arange(c_local)
+        logits = jnp.where((gidx < num_valid)[None, :], logits, -jnp.inf)
 
     # Global logsumexp via two collectives over the class shards.
     local_max = jnp.max(logits, axis=1)
@@ -227,7 +247,8 @@ def _sharded_ce_body(emb, labels, weight, *, axis: str, margin_type: str,
 
 def sharded_margin_ce(mesh: Mesh, *, margin_type: str = "arcface",
                       s: float = 64.0, m: float = 0.5,
-                      easy_margin: bool = False):
+                      easy_margin: bool = False,
+                      num_valid: int | None = None):
     """Build the shard-mapped CE: (emb, labels, W_sharded) → mean loss.
 
     W must be laid out P(None, 'model'); emb P('data', None); labels P('data').
@@ -237,7 +258,7 @@ def sharded_margin_ce(mesh: Mesh, *, margin_type: str = "arcface",
     data_ax, model_ax = mesh.axis_names
 
     body = partial(_sharded_ce_body, axis=model_ax, margin_type=margin_type,
-                   s=s, m=m, easy_margin=easy_margin)
+                   s=s, m=m, easy_margin=easy_margin, num_valid=num_valid)
 
     fn = shard_map(
         body, mesh=mesh,

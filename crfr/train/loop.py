@@ -91,11 +91,15 @@ class FaceTrainModel(nnx.Module):
         self.backbone = build_backbone(
             mc.backbone, embedding_dim=mc.embedding_dim, dropout=mc.dropout,
             input_size=mc.input_size, rngs=rngs, dtype=dtype)
-        # Pad classes so the class axis divides the model mesh axis.
+        # Pad classes so the class axis divides the model mesh axis; padding
+        # classes are masked out of every CE variant via num_valid.
         c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)
         self.head = MarginHead(mc.embedding_dim, c_pad,
                                margin_type=lc.head, s=lc.scale, m=lc.margin,
-                               easy_margin=lc.easy_margin, rngs=rngs)
+                               easy_margin=lc.easy_margin,
+                               num_valid=(cfg.data.num_classes
+                                          if c_pad != cfg.data.num_classes
+                                          else None), rngs=rngs)
 
 
 # Train state is a plain dict pytree: {params, batch_stats, rng_state,
@@ -172,11 +176,14 @@ class Trainer:
                 impl = "streaming"
             else:
                 impl = "dense"
+        c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)
+        n_valid = cfg.data.num_classes if c_pad != cfg.data.num_classes else None
         if impl == "sharded":
             assert cfg.mesh.model > 1, "sharded CE needs mesh.model > 1"
             self._sharded_ce = sharded_margin_ce(
                 self.mesh, margin_type=cfg.loss.head, s=cfg.loss.scale,
-                m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin)
+                m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
+                num_valid=n_valid)
         else:
             self._sharded_ce = None
         self._ce_impl = impl
@@ -243,7 +250,8 @@ class Trainer:
                         emb, model.head.weight.value, labels,
                         margin_type=cfg.loss.head, s=cfg.loss.scale,
                         m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
-                        block=cfg.loss.ce_block)
+                        block=cfg.loss.ce_block,
+                        num_valid=model.head.num_valid)
                 else:
                     loss = model.head.loss(emb, labels)
                 if teacher_fn is not None and distill_w > 0:

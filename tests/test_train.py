@@ -78,16 +78,30 @@ def test_sharded_head_step_runs():
 
 
 def test_sharded_head_matches_dense_step():
-    """First-step loss with model=2 sharded head == model=1 dense head."""
-    data = SyntheticFaces(num_classes=6, image_size=32, seed=2)
+    """First-step loss with model=2 sharded head == model=1 dense head —
+    including a class count (7) that does NOT divide the model axis, so the
+    padded ghost classes must be masked out of the softmax."""
+    import jax.numpy as jnp
+    from crfr.parallel.mesh import class_sharding
+
+    data = SyntheticFaces(num_classes=7, image_size=32, seed=2)
     imgs, labels = next(data.batches(16, 1, seed=4))
-    losses = {}
-    for mcfg in (MeshCfg(data=8, model=1), MeshCfg(data=4, model=2)):
-        cfg = _tiny_cfg(mesh=mcfg, num_classes=6)
-        tr = Trainer(cfg, steps_per_epoch=100)
-        m = tr.train_step(imgs, labels)
-        losses[mcfg.model] = float(jax.device_get(m["loss"]))
-    assert abs(losses[1] - losses[2]) < 1e-3, losses
+
+    dense = Trainer(_tiny_cfg(mesh=MeshCfg(data=8, model=1), num_classes=7),
+                    steps_per_epoch=100)
+    sharded = Trainer(_tiny_cfg(mesh=MeshCfg(data=4, model=2), num_classes=7),
+                      steps_per_epoch=100)
+    # head W inits differ (7 vs padded-8 columns) — copy dense W into the
+    # sharded head's valid columns so only the CE implementation differs.
+    wd = np.asarray(dense.state["params"]["head"]["weight"].value)
+    ws = np.array(sharded.state["params"]["head"]["weight"].value)  # copy
+    ws[:, :7] = wd
+    sharded.state["params"]["head"]["weight"].value = jax.device_put(
+        jnp.asarray(ws), class_sharding(sharded.mesh))
+
+    l_dense = float(jax.device_get(dense.train_step(imgs, labels)["loss"]))
+    l_shard = float(jax.device_get(sharded.train_step(imgs, labels)["loss"]))
+    assert abs(l_dense - l_shard) < 1e-3, (l_dense, l_shard)
 
 
 def test_checkpoint_roundtrip(tmp_path):
