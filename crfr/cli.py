@@ -84,6 +84,22 @@ def cmd_train(args, extra) -> int:
             with open(data_state_path, "w") as f:
                 json.dump({"step": step, "state": batches.get_state()}, f)
 
+    def in_loop_eval(step: int):
+        # reference §3.1 "every N: evaluate(lfw)" — .bin verification set
+        if not args.eval_bin:
+            return
+        from crfr.data.bins import evaluate_bin
+        from crfr.eval.extract import make_extract_fn
+
+        fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                             degrade_to=cfg.data.eval_degrade_size,
+                             resize_mode=cfg.data.resize_mode,
+                             flip_fusion=cfg.eval.flip_fusion,
+                             image_size=cfg.model.input_size)
+        res = evaluate_bin(args.eval_bin, fn, cfg.eval.batch_size,
+                           cfg.model.input_size, cfg.eval.n_folds)
+        metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
+
     for i, (imgs, labels) in enumerate(batches):
         if args.max_steps and i + start >= args.max_steps:
             break
@@ -91,6 +107,8 @@ def cmd_train(args, extra) -> int:
         step = int(jax.device_get(tr.state["step"]))
         if step % cfg.train.checkpoint_every_steps == 0:
             save(step)
+        if step % cfg.train.eval_every_steps == 0:
+            in_loop_eval(step)
     step = int(jax.device_get(tr.state["step"]))
     if ck.latest_step() != step:      # last loop save may already cover it
         save(step, force=True)
@@ -364,6 +382,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps-per-epoch", type=int, default=1000)
     p.add_argument("--workers", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-bin", default="",
+                   help=".bin verification set for in-training eval")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-sr")
