@@ -121,10 +121,17 @@ def cmd_train_sr(args, extra) -> int:
     from crfr.train.sr_loop import SRTrainer
     from crfr.utils.logging import MetricsWriter
 
+    from crfr.train.checkpoints import Checkpointer
+
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
                                          "sr_metrics.jsonl"))
     tr = SRTrainer(cfg, scale=args.scale, metrics=metrics)
+    ck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "sr"),
+                      keep=cfg.train.keep_checkpoints)
+    if args.resume and ck.latest_step() is not None:
+        tr.load_state_dict(ck.restore(tr.state_dict()))
+        print(f"resumed SR from step {tr.step}", file=sys.stderr)
     source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
     if source is not None:
         from crfr.data.pipeline import PipelineCfg, train_batches
@@ -134,10 +141,16 @@ def cmd_train_sr(args, extra) -> int:
     else:
         batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
     m = {}
+    start = tr.step
     for i, (imgs, _) in enumerate(batches):
-        if args.max_steps and i >= args.max_steps:
+        if args.max_steps and i + start >= args.max_steps:
             break
         m = tr.train_step(imgs)
+        if tr.step % cfg.train.checkpoint_every_steps == 0:
+            ck.save(tr.step, tr.state_dict(), cfg.to_json())
+    if tr.step and ck.latest_step() != tr.step:
+        ck.save(tr.step, tr.state_dict(), cfg.to_json(), force=True)
+    ck.close()
     print(json.dumps({"g_loss": float(m.get("g_loss", float("nan"))),
                       "d_loss": float(m.get("d_loss", float("nan"))),
                       "steps": tr.step}))
@@ -166,6 +179,11 @@ def cmd_train_distill(args, extra) -> int:
                                          "distill_metrics.jsonl"))
     st = DistillTrainer(cfg, teacher_from_trainer(teacher_tr),
                         metrics=metrics)
+    sck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "student"),
+                       keep=cfg.train.keep_checkpoints)
+    if args.resume and sck.latest_step() is not None:
+        st.load_state_dict(sck.restore(st.state_dict()))
+        print(f"resumed student from step {st.step}", file=sys.stderr)
     source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
     if source is not None:
         from crfr.data.pipeline import PipelineCfg, train_batches
@@ -174,10 +192,16 @@ def cmd_train_distill(args, extra) -> int:
     else:
         batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
     m = {}
+    start = st.step
     for i, (imgs, labels) in enumerate(batches):
-        if args.max_steps and i >= args.max_steps:
+        if args.max_steps and i + start >= args.max_steps:
             break
         m = st.train_step(imgs, labels)
+        if st.step % cfg.train.checkpoint_every_steps == 0:
+            sck.save(st.step, st.state_dict(), cfg.to_json())
+    if st.step and sck.latest_step() != st.step:
+        sck.save(st.step, st.state_dict(), cfg.to_json(), force=True)
+    sck.close()
     print(json.dumps({k: float(jax.device_get(v)) for k, v in m.items()}
                      | {"steps": st.step}))
     return 0
@@ -390,6 +414,7 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default="casia_arcface")
     p.add_argument("--scale", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_train_sr)
 
     p = sub.add_parser("train-distill")
@@ -397,6 +422,7 @@ def main(argv=None) -> int:
     p.add_argument("--teacher-ckpt", required=True)
     p.add_argument("--kd-weight", type=float, default=1.0)
     p.add_argument("--max-steps", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_train_distill)
 
     p = sub.add_parser("eval-verification")

@@ -166,6 +166,16 @@ class DistillTrainer:
         return m
 
     # ------------------------------------------------------------------
+    def state_dict(self) -> dict:
+        return {"state": self.state, "opt_state": self.opt_state,
+                "step": jnp.asarray(self.step, jnp.int32)}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.state = sd["state"]
+        self.opt_state = sd["opt_state"]
+        self.step = int(jax.device_get(sd["step"]))
+
+    # ------------------------------------------------------------------
     def student_embed_fn(self, with_residual: bool = False):
         """Jitted: raw pixels → student embedding (optionally s + r)."""
         graphdef, state = self.graphdef, self.state

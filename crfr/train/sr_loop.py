@@ -158,6 +158,20 @@ class SRTrainer:
         return {"g_loss": g_loss, "d_loss": d_loss}
 
     # ------------------------------------------------------------------
+    def state_dict(self) -> dict:
+        """Checkpointable pytree of the full GAN training state."""
+        return {"g_state": self.g_state, "d_state": self.d_state,
+                "g_opt": self.g_opt, "d_opt": self.d_opt,
+                "step": jnp.asarray(self.step, jnp.int32)}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.g_state = sd["g_state"]
+        self.d_state = sd["d_state"]
+        self.g_opt = sd["g_opt"]
+        self.d_opt = sd["d_opt"]
+        self.step = int(jax.device_get(sd["step"]))
+
+    # ------------------------------------------------------------------
     def generator(self) -> Hallucinator:
         return nnx.merge(self.g_graphdef, self.g_state)
 
