@@ -377,6 +377,38 @@ def cmd_import_torch(args, extra) -> int:
     return 0
 
 
+def cmd_extract(args, extra) -> int:
+    """Batch feature extraction: image list file (one path per line, or
+    'path label') → .npy embedding matrix (+ optional labels .npy)."""
+    import numpy as np
+
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    paths, labels = [], []
+    with open(args.list) as f:
+        for ln in f:
+            parts = ln.split()
+            if not parts:
+                continue
+            paths.append(os.path.join(args.root, parts[0]))
+            labels.append(int(parts[1]) if len(parts) > 1 else -1)
+    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                         degrade_to=args.degrade or None,
+                         resize_mode=cfg.data.resize_mode,
+                         flip_fusion=cfg.eval.flip_fusion,
+                         image_size=cfg.model.input_size)
+    embs = extract_embeddings(paths, fn, cfg.eval.batch_size,
+                              cfg.model.input_size)
+    np.save(args.out, embs)
+    if any(l >= 0 for l in labels):
+        np.save(args.out.replace(".npy", "") + "_labels.npy",
+                np.asarray(labels))
+    print(json.dumps({"out": args.out, "count": len(paths),
+                      "dim": int(embs.shape[1]) if len(embs) else 0}))
+    return 0
+
+
 def cmd_pack(args, extra) -> int:
     from crfr.data.records import pack_image_folder, write_array_record, write_pack
 
@@ -472,6 +504,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("extract")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--list", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--preset", default="casia_arcface")
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("pack")
     p.add_argument("--root", required=True)
