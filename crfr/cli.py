@@ -75,7 +75,7 @@ def cmd_train(args, extra) -> int:
             random_flip=cfg.data.random_flip, num_workers=args.workers),
             start_step=start, state=data_state)
     else:
-        batches = synth.batches(cfg.train.batch_size, args.max_steps,
+        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000,
                                 seed=cfg.train.seed)
 
     def save(step: int, force: bool = False):
@@ -84,19 +84,40 @@ def cmd_train(args, extra) -> int:
             with open(data_state_path, "w") as f:
                 json.dump({"step": step, "state": batches.get_state()}, f)
 
+    # In-training eval fn compiled ONCE, taking state as an argument —
+    # rebuilding a closure per eval would recompile the backbone each time.
+    _eval_jit = None
+
     def in_loop_eval(step: int):
         # reference §3.1 "every N: evaluate(lfw)" — .bin verification set
+        nonlocal _eval_jit
         if not args.eval_bin:
             return
+        import jax as _jax
+        import jax.numpy as jnp
+        from flax import nnx
+
         from crfr.data.bins import evaluate_bin
         from crfr.eval.extract import make_extract_fn
 
-        fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                             degrade_to=cfg.data.eval_degrade_size,
-                             resize_mode=cfg.data.resize_mode,
-                             flip_fusion=cfg.eval.flip_fusion,
-                             image_size=cfg.model.input_size)
-        res = evaluate_bin(args.eval_bin, fn, cfg.eval.batch_size,
+        if _eval_jit is None:
+            @_jax.jit
+            def _embed(params, bstats, rngs, x):
+                model = nnx.merge(tr.graphdef, params, bstats, rngs)
+                fn = make_extract_fn(
+                    lambda y: model.backbone(y, train=False),
+                    degrade_to=cfg.data.eval_degrade_size,
+                    resize_mode=cfg.data.resize_mode,
+                    flip_fusion=cfg.eval.flip_fusion,
+                    image_size=cfg.model.input_size)
+                return fn(x)
+            _eval_jit = _embed
+
+        def extract(x):
+            return _eval_jit(tr.state["params"], tr.state["batch_stats"],
+                             tr.state["rng_state"], x)
+
+        res = evaluate_bin(args.eval_bin, extract, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
         metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
 

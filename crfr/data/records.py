@@ -7,7 +7,7 @@ TPU-ecosystem native container, pairs with Grain). Each record is a
 self-describing msgpack-free binary blob:
 
     [u32 label][u16 fmt_len][fmt bytes: 'jpeg'|'png'|'raw'][u32 h][u32 w]
-    [payload bytes]
+    [u32 c][payload bytes]
 
 'raw' payload is uint8 HWC pixels (already aligned 112×112 — the common case:
 alignment runs once at pack time, exactly like the reference family ships
@@ -27,20 +27,21 @@ from typing import Iterable, Iterator
 import numpy as np
 
 _HDR = struct.Struct("<IH")
-_DIMS = struct.Struct("<II")
+_DIMS = struct.Struct("<III")
 
 
 def encode_record(label: int, image: np.ndarray | bytes,
                   fmt: str = "raw") -> bytes:
     if isinstance(image, np.ndarray):
         assert fmt == "raw" and image.dtype == np.uint8 and image.ndim == 3
-        h, w = image.shape[:2]
+        h, w, c = image.shape
         payload = image.tobytes()
     else:
         payload = image
-        h = w = 0
+        h = w = c = 0
     fmt_b = fmt.encode()
-    return (_HDR.pack(label, len(fmt_b)) + fmt_b + _DIMS.pack(h, w) + payload)
+    return (_HDR.pack(label, len(fmt_b)) + fmt_b + _DIMS.pack(h, w, c)
+            + payload)
 
 
 def decode_record(blob: bytes) -> tuple[int, np.ndarray]:
@@ -48,11 +49,11 @@ def decode_record(blob: bytes) -> tuple[int, np.ndarray]:
     off = _HDR.size
     fmt = blob[off:off + fmt_len].decode()
     off += fmt_len
-    h, w = _DIMS.unpack_from(blob, off)
+    h, w, c = _DIMS.unpack_from(blob, off)
     off += _DIMS.size
     payload = blob[off:]
     if fmt == "raw":
-        img = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+        img = np.frombuffer(payload, np.uint8).reshape(h, w, c)
     else:
         from PIL import Image
         img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))

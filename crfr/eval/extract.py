@@ -32,8 +32,11 @@ def make_extract_fn(backbone_apply: Callable, degrade_to: int | None = None,
     def f(images):
         x = images.astype(jnp.float32)
         if w is not None:
+            # 'highest': eval-path degradation must match the golden-tested
+            # f32 ops (TPU default precision would truncate to bf16).
             x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
         x = normalize(x)
         emb = backbone_apply(x)
         if flip:

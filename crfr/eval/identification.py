@@ -111,13 +111,16 @@ def open_set_identification(probe_emb, gallery_emb, probe_labels,
     tpir = {}
     unmated_scores = np.sort(top_sim[~mated])[::-1]
     for tgt in fpir_targets:
-        if len(unmated_scores) == 0:
-            tau = -1.0     # no impostors: threshold accepts everything
+        # accept exactly k = floor(tgt·n) impostors: τ = (k+1)-th largest
+        # unmated score with STRICT '>' acceptance (τ=−inf accepts all when
+        # k ≥ n or there are no impostors).
+        n_un = len(unmated_scores)
+        k = int(np.floor(tgt * n_un))
+        if n_un == 0 or k >= n_un:
+            tau = -np.inf
         else:
-            k = int(np.floor(tgt * len(unmated_scores)))
-            k = min(max(k, 0), len(unmated_scores) - 1)
             tau = unmated_scores[k]
-        hit = (top_sim >= tau) & correct
+        hit = (top_sim > tau) & correct
         tpir[float(tgt)] = float(hit[mated].mean()) if mated.any() else 0.0
 
     return IdentificationResult(rank1=rank1, cmc=np.asarray([rank1]),

@@ -85,11 +85,14 @@ def tar_at_far_exact(scores: np.ndarray, issame: np.ndarray,
     neg = np.sort(scores[~issame])[::-1]
     out = {}
     for tgt in far_targets:
+        # accept exactly k = floor(tgt·n) impostors: thr = (k+1)-th largest
+        # impostor score, STRICT '>' acceptance. k ≥ n → thr=−inf (accept
+        # all); k == 0 → thr = max impostor (accept none of them).
         k = int(np.floor(tgt * len(neg)))
-        if k < 1:       # FAR target below resolution of impostor count
-            thr = neg[0] + 1e-12 if len(neg) else np.inf
+        if len(neg) == 0 or k >= len(neg):
+            thr = -np.inf
         else:
-            thr = neg[k - 1]                     # accept exactly k impostors
+            thr = neg[k]
         out[float(tgt)] = float((pos > thr).mean()) if len(pos) else 0.0
     return out
 

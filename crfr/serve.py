@@ -41,7 +41,8 @@ def build_serving_fn(backbone_apply: Callable, degrade_to: int | None = None,
         x = images.astype(jnp.float32)
         if w is not None:
             x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision="highest")
         x = normalize(x)
         emb = backbone_apply(x)
         if flip_tta:

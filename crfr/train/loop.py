@@ -55,8 +55,10 @@ def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
         total = max(t.epochs * steps_per_epoch - t.warmup_steps, 1)
         main = optax.cosine_decay_schedule(t.lr, total)
     else:
-        boundaries = {e * steps_per_epoch: t.lr_drop_factor
-                      for e in t.lr_drop_epochs}
+        # join_schedules passes (global_step − warmup) to this schedule, so
+        # boundaries configured in GLOBAL steps must be shifted by warmup.
+        boundaries = {max(e * steps_per_epoch - t.warmup_steps, 1):
+                      t.lr_drop_factor for e in t.lr_drop_epochs}
         main = optax.piecewise_constant_schedule(t.lr, boundaries)
     if t.warmup_steps <= 0:
         return main
@@ -66,15 +68,16 @@ def lr_schedule(cfg: Config, steps_per_epoch: int) -> optax.Schedule:
 
 def _wd_mask(params) -> Any:
     """True where weight decay applies: conv/linear kernels and head W only
-    (BN scale/bias, PReLU alpha, biases excluded — reference-family rule)."""
+    (BN scale/bias, PReLU alpha, biases excluded — reference-family rule).
+
+    Matched on path COMPONENTS ('kernel' / 'weight'), not suffixes: nnx
+    Param paths end in a 'value' leaf ('head/weight/value'), so an
+    endswith('weight') check silently missed the ArcFace W."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def decide(path) -> bool:
-        names = [getattr(p, "name", getattr(p, "key", str(p))) for p in path]
-        s = "/".join(str(n) for n in names)
-        if "kernel" in s or s.endswith("weight"):
-            return True
-        return False
+        names = {str(getattr(p, "name", getattr(p, "key", p))) for p in path}
+        return bool(names & {"kernel", "weight"})
 
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
@@ -229,8 +232,14 @@ class Trainer:
 
             def loss_fn(model):
                 x = images.astype(jnp.float32)
-                if table is not None and n_lows > 1:
-                    if cfg.data.per_sample_degrade:
+                # n_lows == 1 (degrade_min == degrade_max) is a FIXED
+                # degradation, still applied — only an empty table skips.
+                if table is not None and n_lows >= 1:
+                    if n_lows == 1:
+                        w = table[0]
+                        x = jnp.einsum("oi,bijc,pj->bopc", w, x, w,
+                                       preferred_element_type=jnp.float32)
+                    elif cfg.data.per_sample_degrade:
                         idx = jax.random.randint(key, (x.shape[0],), 0, n_lows)
                         w = table[idx]                       # (B, S, S)
                         x = jnp.einsum("boi,bijc,bpj->bopc", w, x, w,

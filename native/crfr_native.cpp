@@ -68,7 +68,6 @@ void cv2_row(int in_size, int out_size, int o, int* xmin_out,
   const int sx = int(std::floor(fx));
   const double frac = fx - sx;
   // replicate border: accumulate out-of-range taps onto edge pixels
-  w->assign(in_size > 4 ? 4 : in_size, 0.0);
   int xmin = std::min(std::max(sx - 1, 0), in_size - 1);
   int xmax = std::min(std::max(sx + 2, 0), in_size - 1);
   *xmin_out = xmin;

@@ -71,8 +71,12 @@ def test_distill_student_tracks_teacher(rng):
         teacher_tr.train_step(imgs, labels)
 
     cfg_s = _cfg(size=32, distill=1.0)
+    # kd_normalize: a 25-step teacher has unconverged feature-BN stats, so
+    # raw-feature magnitudes (~1e3/dim) dwarf what the BN-bounded residual
+    # can express in 30 steps; the normalized (directional) KD is the
+    # meaningful short-horizon test of the mechanism.
     st = DistillTrainer(cfg_s, teacher_from_trainer(teacher_tr),
-                        steps_per_epoch=100)
+                        steps_per_epoch=100, kd_normalize=True)
     kds, losses = [], []
     for imgs, labels in data.batches(16, 30, seed=2):
         m = st.train_step(imgs, labels)
@@ -81,11 +85,20 @@ def test_distill_student_tracks_teacher(rng):
     assert np.isfinite(losses).all()
     assert kds[-1] < kds[0] * 0.8, (kds[0], kds[-1])     # gap shrinks
 
-    # student+residual should be closer to teacher than student alone
+    # student+residual should be closer to teacher than student alone, ON
+    # THE TRAINING REGIME: student sees LR-degraded inputs (the residual is
+    # trained to close the LR-student → HR-teacher gap), teacher sees HR.
+    from crfr.ops.bicubic import degrade_updown
+
     imgs, _ = data.sample(np.random.default_rng(9), 16)
-    t = teacher_tr.embed_fn()(jnp.asarray(imgs))
-    s = st.student_embed_fn(with_residual=False)(imgs)
-    sr_ = st.student_embed_fn(with_residual=True)(imgs)
+    lr_imgs = np.asarray(degrade_updown(jnp.asarray(imgs, jnp.float32), 12,
+                                        "pil"))
+    def nrm(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
+
+    t = nrm(teacher_tr.embed_fn()(jnp.asarray(imgs)))
+    s = nrm(st.student_embed_fn(with_residual=False)(lr_imgs))
+    sr_ = nrm(st.student_embed_fn(with_residual=True)(lr_imgs))
     d_plain = float(jnp.mean(jnp.sum((s - t) ** 2, -1)))
     d_res = float(jnp.mean(jnp.sum((sr_ - t) ** 2, -1)))
     assert d_res < d_plain, (d_res, d_plain)
