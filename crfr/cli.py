@@ -53,6 +53,10 @@ def cmd_train(args, extra) -> int:
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
                                          "metrics.jsonl"))
+    from crfr.parallel.multihost import (maybe_initialize_distributed,
+                                         process_shard)
+    distributed = maybe_initialize_distributed()
+
     tr = Trainer(cfg, steps_per_epoch=args.steps_per_epoch, metrics=metrics)
     ck = Checkpointer(cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints)
     if args.resume and ck.latest_step() is not None:
@@ -60,7 +64,16 @@ def cmd_train(args, extra) -> int:
         print(f"resumed from step {ck.latest_step()}", file=sys.stderr)
 
     source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
-    start = int(jax.device_get(tr.state["step"]))
+    if source is not None and distributed and jax.process_count() > 1:
+        # Multi-host DP: each host reads its own contiguous index shard
+        # (grain then shuffles within it); the mesh spans all hosts, so the
+        # global batch is the concatenation of per-host batches.
+        from crfr.data.records import SubsetSource
+        lo, hi = process_shard(len(source))
+        source = SubsetSource(source, lo, hi)
+        print(f"host {jax.process_index()}/{jax.process_count()}: "
+              f"records [{lo}, {hi})", file=sys.stderr)
+    start = tr.sync_host_step()
     data_state_path = os.path.join(cfg.train.checkpoint_dir,
                                    "data_state.json")
     if source is not None:
@@ -78,59 +91,52 @@ def cmd_train(args, extra) -> int:
         batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000,
                                 seed=cfg.train.seed)
 
+    # Double-buffered H2D feeding (H2D of batch i+1 overlaps step i); the
+    # resumable variant tracks the grain state of the CONSUMED batch so
+    # prefetch never breaks exact data resume.
+    from crfr.train.feed import ResumableDeviceFeed, device_feed
+    feed = (ResumableDeviceFeed(batches, tr.mesh) if source is not None
+            else device_feed(batches, tr.mesh))
+
     def save(step: int, force: bool = False):
         ck.save(step, tr.state, cfg.to_json(), force=force)
         if source is not None:
             with open(data_state_path, "w") as f:
-                json.dump({"step": step, "state": batches.get_state()}, f)
+                json.dump({"step": step, "state": feed.state}, f)
 
-    # In-training eval fn compiled ONCE, taking state as an argument —
-    # rebuilding a closure per eval would recompile the backbone each time.
-    _eval_jit = None
+    # In-training eval fn compiled ONCE; state_fn threads the live weights
+    # through the single compiled program (no per-eval retrace).
+    _eval_fn = None
 
     def in_loop_eval(step: int):
         # reference §3.1 "every N: evaluate(lfw)" — .bin verification set
-        nonlocal _eval_jit
+        nonlocal _eval_fn
         if not args.eval_bin:
             return
-        import jax as _jax
-        import jax.numpy as jnp
-        from flax import nnx
-
         from crfr.data.bins import evaluate_bin
         from crfr.eval.extract import make_extract_fn
 
-        if _eval_jit is None:
-            @_jax.jit
-            def _embed(params, bstats, rngs, x):
-                model = nnx.merge(tr.graphdef, params, bstats, rngs)
-                fn = make_extract_fn(
-                    lambda y: model.backbone(y, train=False),
-                    degrade_to=cfg.data.eval_degrade_size,
-                    resize_mode=cfg.data.resize_mode,
-                    flip_fusion=cfg.eval.flip_fusion,
-                    image_size=cfg.model.input_size)
-                return fn(x)
-            _eval_jit = _embed
-
-        def extract(x):
-            return _eval_jit(tr.state["params"], tr.state["batch_stats"],
-                             tr.state["rng_state"], x)
-
-        res = evaluate_bin(args.eval_bin, extract, cfg.eval.batch_size,
+        if _eval_fn is None:
+            _eval_fn = make_extract_fn(
+                tr.backbone_apply, state_fn=tr.embed_state,
+                degrade_to=cfg.data.eval_degrade_size,
+                resize_mode=cfg.data.resize_mode,
+                flip_fusion=cfg.eval.flip_fusion,
+                image_size=cfg.model.input_size)
+        res = evaluate_bin(args.eval_bin, _eval_fn, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
         metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
 
-    for i, (imgs, labels) in enumerate(batches):
+    for i, (imgs, labels) in enumerate(feed):
         if args.max_steps and i + start >= args.max_steps:
             break
         tr.train_step(imgs, labels)
-        step = int(jax.device_get(tr.state["step"]))
+        step = tr.host_step      # async hot loop: no device sync per step
         if step % cfg.train.checkpoint_every_steps == 0:
             save(step)
         if step % cfg.train.eval_every_steps == 0:
             in_loop_eval(step)
-    step = int(jax.device_get(tr.state["step"]))
+    step = tr.host_step
     if ck.latest_step() != step:      # last loop save may already cover it
         save(step, force=True)
     ck.close()
@@ -147,7 +153,20 @@ def cmd_train_sr(args, extra) -> int:
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
                                          "sr_metrics.jsonl"))
-    tr = SRTrainer(cfg, scale=args.scale, metrics=metrics)
+    teacher_fn = None
+    if args.teacher_ckpt:
+        # identity loss ‖T(sr) − T(hr)‖ via a frozen recognition backbone
+        from crfr.configs import Config
+        from crfr.train.distill_loop import teacher_from_trainer
+        from crfr.train.loop import Trainer
+        tck = Checkpointer(args.teacher_ckpt, keep=1)
+        tcfg_dict = tck.restore_config()
+        tcfg = Config.from_dict(tcfg_dict) if tcfg_dict else cfg
+        teacher_tr = Trainer(tcfg, steps_per_epoch=1000)
+        teacher_tr.state = tck.restore(teacher_tr.state)
+        teacher_fn = teacher_from_trainer(teacher_tr)
+    tr = SRTrainer(cfg, scale=args.scale, metrics=metrics,
+                   teacher_fn=teacher_fn)
     ck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "sr"),
                       keep=cfg.train.keep_checkpoints)
     if args.resume and ck.latest_step() is not None:
@@ -198,8 +217,9 @@ def cmd_train_distill(args, extra) -> int:
 
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
                                          "distill_metrics.jsonl"))
+    sr_fn = _sr_apply_if_requested(args, cfg)   # hallucination-aided mode
     st = DistillTrainer(cfg, teacher_from_trainer(teacher_tr),
-                        metrics=metrics)
+                        metrics=metrics, sr_fn=sr_fn, sr_scale=args.sr_scale)
     sck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "student"),
                        keep=cfg.train.keep_checkpoints)
     if args.resume and sck.latest_step() is not None:
@@ -228,6 +248,15 @@ def cmd_train_distill(args, extra) -> int:
     return 0
 
 
+def _sr_apply_if_requested(args, cfg):
+    """--sr-ckpt DIR → frozen hallucinator plug (or None). Used to route
+    probes through G before embedding (hallucination-aided recognition)."""
+    if not getattr(args, "sr_ckpt", ""):
+        return None
+    from crfr.train.sr_loop import load_sr_apply
+    return load_sr_apply(args.sr_ckpt, cfg, scale=args.sr_scale)
+
+
 def _embed_fn_from_ckpt(args, extra):
     """Rebuild a Trainer from config+checkpoint → jitted raw-pixel embed."""
     import jax
@@ -238,7 +267,11 @@ def _embed_fn_from_ckpt(args, extra):
     ck = Checkpointer(args.ckpt, keep=1)
     cfg_dict = ck.restore_config()
     if cfg_dict is not None:
+        from crfr.configs import parse_overrides
         cfg = Config.from_dict(cfg_dict)
+        kv = parse_overrides(_split_overrides(extra))
+        if kv:                   # CLI key=value wins over the ckpt's config
+            cfg = cfg.override(**kv)
     else:
         cfg = _load_cfg(args, extra)
     tr = Trainer(cfg, steps_per_epoch=1000)
@@ -254,12 +287,18 @@ def cmd_eval_verification(args, extra) -> int:
     tr, cfg = _embed_fn_from_ckpt(args, extra)
     proto = parse_lfw_pairs(args.pairs, args.lfw_root)
     degrade = args.degrade or cfg.data.eval_degrade_size
+    sr_apply = _sr_apply_if_requested(args, cfg)
+    if sr_apply is not None and not degrade:
+        degrade = cfg.model.input_size // args.sr_scale
     backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
     kw = dict(resize_mode=cfg.data.resize_mode,
               flip_fusion=cfg.eval.flip_fusion,
               image_size=cfg.model.input_size)
     fn_hr = make_extract_fn(backbone, degrade_to=None, **kw)
-    fn_lr = make_extract_fn(backbone, degrade_to=degrade, **kw)
+    # LR side: bicubic down→up, or down→G↑ when --sr-ckpt is given
+    # (hallucination-aided recognition — the paper's eval protocol).
+    fn_lr = make_extract_fn(backbone, degrade_to=degrade, sr_apply=sr_apply,
+                            **kw)
     # Cross-resolution protocol: degrade only the PROBE side of each pair
     # (--degrade-side second, BASELINE "16×16→112 bicubic probe
     # degradation"); 'both' reproduces symmetric-LR protocols.
@@ -284,10 +323,22 @@ def cmd_eval_scface(args, extra) -> int:
 
     tr, cfg = _embed_fn_from_ckpt(args, extra)
     split = scface_split(args.gallery, args.probes, args.distance)
-    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                         flip_fusion=cfg.eval.flip_fusion)
+    backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
+    fn = make_extract_fn(backbone, flip_fusion=cfg.eval.flip_fusion,
+                         image_size=cfg.model.input_size)
+    sr_apply = _sr_apply_if_requested(args, cfg)
+    if sr_apply is not None:
+        # PROBES routed through the hallucinator: ↓ to the G input size
+        # (approximates the native-LR surveillance probe), G ↑, embed.
+        fn_p = make_extract_fn(
+            backbone, degrade_to=cfg.model.input_size // args.sr_scale,
+            sr_apply=sr_apply, resize_mode=cfg.data.resize_mode,
+            flip_fusion=cfg.eval.flip_fusion,
+            image_size=cfg.model.input_size)
+    else:
+        fn_p = fn
     g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
-    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
+    p = extract_embeddings(split.probe_paths, fn_p, cfg.eval.batch_size, cfg.model.input_size)
     res = closed_set_identification(p, g, split.probe_labels,
                                     split.gallery_labels)
     print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist()}))
@@ -319,8 +370,12 @@ def cmd_eval_bin(args, extra) -> int:
     from crfr.eval.extract import make_extract_fn
 
     tr, cfg = _embed_fn_from_ckpt(args, extra)
+    sr_apply = _sr_apply_if_requested(args, cfg)
+    degrade = args.degrade or cfg.data.eval_degrade_size
+    if sr_apply is not None and not degrade:
+        degrade = cfg.model.input_size // args.sr_scale
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                         degrade_to=args.degrade or cfg.data.eval_degrade_size,
+                         degrade_to=degrade, sr_apply=sr_apply,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion,
                          image_size=cfg.model.input_size)
@@ -332,40 +387,77 @@ def cmd_eval_bin(args, extra) -> int:
     return 0
 
 
-def cmd_eval_ijbc(args, extra) -> int:
-    """IJB-C: --meta CSV 'path template_id media_id subject_id' per line;
-    --pairs 't1 t2 label' per line for 1:1; --gallery-templates /
-    --probe-templates subject-id lists for 1:N (optional)."""
-    import numpy as np
-
-    from crfr.eval.extract import extract_embeddings, make_extract_fn
-    from crfr.eval.ijbc import ijbc_11
-
-    tr, cfg = _embed_fn_from_ckpt(args, extra)
+def _read_ijbc_meta(path: str, root: str):
+    """'path template_id media_id subject_id' per line → lists."""
     paths, tids, mids, sids = [], [], [], []
-    with open(args.meta) as f:
+    with open(path) as f:
         for ln in f:
             parts = ln.split()
             if len(parts) < 4:
                 continue
-            paths.append(os.path.join(args.root, parts[0]))
+            paths.append(os.path.join(root, parts[0]))
             tids.append(int(parts[1]))
             mids.append(int(parts[2]))
             sids.append(int(parts[3]))
-    t1, t2, lab = [], [], []
-    with open(args.pairs) as f:
-        for ln in f:
-            parts = ln.split()
-            if len(parts) == 3:
-                t1.append(int(parts[0]))
-                t2.append(int(parts[1]))
-                lab.append(int(parts[2]))
+    import numpy as np
+    return paths, np.asarray(tids), np.asarray(mids), np.asarray(sids)
+
+
+def cmd_eval_ijbc(args, extra) -> int:
+    """IJB-C. 1:1 (--meta + --pairs 't1 t2 label' lines) and/or 1:N
+    (--probe-meta + --gallery-g1 + --gallery-g2, each a meta CSV
+    'path template_id media_id subject_id'; results averaged over the two
+    gallery splits, the standard protocol)."""
+    import numpy as np
+
+    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    from crfr.eval.ijbc import ijbc_11, ijbc_1n_two_gallery, pool_meta
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                         flip_fusion=cfg.eval.flip_fusion)
-    embs = extract_embeddings(paths, fn, cfg.eval.batch_size, cfg.model.input_size)
-    res = ijbc_11(embs, np.asarray(tids), np.asarray(mids),
-                  np.asarray(t1), np.asarray(t2), np.asarray(lab))
-    print(json.dumps({"tar_at_far": res.tar_at_far}))
+                         flip_fusion=cfg.eval.flip_fusion,
+                         image_size=cfg.model.input_size)
+    out: dict = {}
+
+    def pooled(meta_path):
+        paths, tids, mids, sids = _read_ijbc_meta(meta_path, args.root)
+        embs = extract_embeddings(paths, fn, cfg.eval.batch_size,
+                                  cfg.model.input_size)
+        return pool_meta(embs, tids, mids, sids)
+
+    if args.meta and args.pairs:
+        paths, tids, mids, sids = _read_ijbc_meta(args.meta, args.root)
+        t1, t2, lab = [], [], []
+        with open(args.pairs) as f:
+            for ln in f:
+                parts = ln.split()
+                if len(parts) == 3:
+                    t1.append(int(parts[0]))
+                    t2.append(int(parts[1]))
+                    lab.append(int(parts[2]))
+        embs = extract_embeddings(paths, fn, cfg.eval.batch_size,
+                                  cfg.model.input_size)
+        res = ijbc_11(embs, tids, mids,
+                      np.asarray(t1), np.asarray(t2), np.asarray(lab))
+        out["tar_at_far"] = res.tar_at_far
+    if args.probe_meta and args.gallery_g1 and args.gallery_g2:
+        p_emb, p_subj, _ = pooled(args.probe_meta)
+        g1_emb, g1_subj, _ = pooled(args.gallery_g1)
+        g2_emb, g2_subj, _ = pooled(args.gallery_g2)
+        avg, r1, r2 = ijbc_1n_two_gallery(
+            p_emb, p_subj, g1_emb, g1_subj, g2_emb, g2_subj,
+            fpir_targets=cfg.eval.fpir_targets)
+        out["rank1"] = avg.rank1
+        out["cmc"] = np.asarray(avg.cmc).tolist()
+        out["tpir_at_fpir"] = avg.tpir_at_fpir
+        out["rank1_g1"] = r1.rank1
+        out["rank1_g2"] = r2.rank1
+    if not out:
+        print("eval-ijbc: nothing to do — pass --meta/--pairs (1:1) "
+              "and/or --probe-meta/--gallery-g1/--gallery-g2 (1:N)",
+              file=sys.stderr)
+        return 2
+    print(json.dumps(out))
     return 0
 
 
@@ -434,8 +526,14 @@ def cmd_pack(args, extra) -> int:
     from crfr.data.records import pack_image_folder, write_array_record, write_pack
 
     writer = write_pack if args.out.endswith(".crfrpack") else write_array_record
-    n, c = pack_image_folder(args.root, args.out, size=args.size,
-                             writer=writer)
+    if args.from_rec:
+        # MXNet RecordIO (insightface MS1M train.rec) → crfr records
+        from crfr.data.mxrec import convert_rec
+        n, c = convert_rec(args.from_rec, args.out,
+                           idx_path=args.idx or None, writer=writer)
+    else:
+        n, c = pack_image_folder(args.root, args.out, size=args.size,
+                                 writer=writer)
     print(json.dumps({"images": n, "identities": c, "out": args.out}))
     return 0
 
@@ -468,6 +566,8 @@ def main(argv=None) -> int:
     p.add_argument("--scale", type=int, default=8)
     p.add_argument("--max-steps", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--teacher-ckpt", default="",
+                   help="recognition ckpt for the SR identity loss")
     p.set_defaults(fn=cmd_train_sr)
 
     p = sub.add_parser("train-distill")
@@ -476,6 +576,9 @@ def main(argv=None) -> int:
     p.add_argument("--kd-weight", type=float, default=1.0)
     p.add_argument("--max-steps", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--sr-ckpt", default="",
+                   help="hallucinator ckpt: student consumes G(lr)")
+    p.add_argument("--sr-scale", type=int, default=8)
     p.set_defaults(fn=cmd_train_distill)
 
     p = sub.add_parser("eval-verification")
@@ -486,6 +589,9 @@ def main(argv=None) -> int:
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--degrade-side", default="second",
                    choices=("first", "second", "both"))
+    p.add_argument("--sr-ckpt", default="",
+                   help="route degraded side through the hallucinator")
+    p.add_argument("--sr-scale", type=int, default=8)
     p.set_defaults(fn=cmd_eval_verification)
 
     p = sub.add_parser("eval-scface")
@@ -494,6 +600,9 @@ def main(argv=None) -> int:
     p.add_argument("--probes", required=True)
     p.add_argument("--distance", type=int, default=1, choices=(1, 2, 3))
     p.add_argument("--preset", default="scface")
+    p.add_argument("--sr-ckpt", default="",
+                   help="route probes through the hallucinator")
+    p.add_argument("--sr-scale", type=int, default=8)
     p.set_defaults(fn=cmd_eval_scface)
 
     p = sub.add_parser("eval-openset")
@@ -510,12 +619,18 @@ def main(argv=None) -> int:
     p.add_argument("--bin", required=True)
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--preset", default="lfw_ir50_16px")
+    p.add_argument("--sr-ckpt", default="",
+                   help="route degraded probes through the hallucinator")
+    p.add_argument("--sr-scale", type=int, default=8)
     p.set_defaults(fn=cmd_eval_bin)
 
     p = sub.add_parser("eval-ijbc")
     p.add_argument("--ckpt", required=True)
-    p.add_argument("--meta", required=True)
-    p.add_argument("--pairs", required=True)
+    p.add_argument("--meta", default="", help="1:1 image meta CSV")
+    p.add_argument("--pairs", default="", help="1:1 't1 t2 label' lines")
+    p.add_argument("--probe-meta", default="", help="1:N probe meta CSV")
+    p.add_argument("--gallery-g1", default="", help="1:N gallery split 1")
+    p.add_argument("--gallery-g2", default="", help="1:N gallery split 2")
     p.add_argument("--root", default="")
     p.add_argument("--preset", default="ms1m_ijbc")
     p.set_defaults(fn=cmd_eval_ijbc)
@@ -536,9 +651,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("pack")
-    p.add_argument("--root", required=True)
+    p.add_argument("--root", default="",
+                   help="identity-folder image tree to pack")
     p.add_argument("--out", required=True)
     p.add_argument("--size", type=int, default=112)
+    p.add_argument("--from-rec", default="",
+                   help="convert an MXNet .rec (insightface MS1M layout)")
+    p.add_argument("--idx", default="",
+                   help=".idx path (default: alongside --from-rec)")
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("bench")

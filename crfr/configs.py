@@ -256,15 +256,22 @@ PRESETS = {
 }
 
 
+def parse_overrides(overrides: Sequence[str]) -> dict[str, Any]:
+    """'key=value' strings → {dotted key: typed value} (JSON-typed when the
+    value parses as JSON, raw string otherwise)."""
+    kv: dict[str, Any] = {}
+    for item in overrides:
+        k, _, v = item.partition("=")
+        kv[k] = json.loads(v) if _looks_like_json(v) else v
+    return kv
+
+
 def get_config(name: str, overrides: Sequence[str] = ()) -> Config:
     """Look up a preset and apply ``key=value`` CLI-style overrides."""
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
     cfg = PRESETS[name]()
-    kv: dict[str, Any] = {}
-    for item in overrides:
-        k, _, v = item.partition("=")
-        kv[k] = json.loads(v) if _looks_like_json(v) else v
+    kv = parse_overrides(overrides)
     return cfg.override(**kv) if kv else cfg
 
 

@@ -105,18 +105,45 @@ def train_batches(source, cfg: PipelineCfg, start_step: int = 0,
 
 
 def embed_batches(paths: Sequence[str], batch_size: int, size: int = 112,
-                  pad_to_full: bool = True) -> Iterator[tuple[np.ndarray, int]]:
+                  pad_to_full: bool = True, num_threads: int = 16,
+                  prefetch: int = 2) -> Iterator[tuple[np.ndarray, int]]:
     """Eval-side loader: stream images from paths in fixed-size batches
     (last batch zero-padded so every jit call sees ONE static shape —
-    avoids a recompile per remainder). Yields (batch u8, n_valid)."""
+    avoids a recompile per remainder). Yields (batch u8, n_valid).
+
+    Decode is threaded (PIL drops the GIL in the JPEG decoder) and
+    ``prefetch`` whole batches are assembled ahead of the consumer, so at
+    IJB-C scale the host IO overlaps the device's embed compute instead of
+    serializing with it (the round-1 host-bound extraction bottleneck)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     from crfr.data.datasets import load_image
 
     n = len(paths)
-    for start in range(0, n, batch_size):
+    if n == 0:
+        return
+
+    def make_batch(pool, start):
         chunk = paths[start:start + batch_size]
-        imgs = np.stack([load_image(p, size) for p in chunk])
+        imgs = np.stack(list(pool.map(lambda p: load_image(p, size), chunk)))
         n_valid = len(chunk)
         if pad_to_full and n_valid < batch_size:
             pad = np.zeros((batch_size - n_valid, size, size, 3), np.uint8)
             imgs = np.concatenate([imgs, pad])
-        yield imgs, n_valid
+        return imgs, n_valid
+
+    starts = iter(range(0, n, batch_size))
+    with ThreadPoolExecutor(num_threads) as pool, \
+            ThreadPoolExecutor(max(prefetch, 1)) as batcher:
+        pending: deque = deque()
+        for _ in range(max(prefetch, 1)):
+            s = next(starts, None)
+            if s is not None:
+                pending.append(batcher.submit(make_batch, pool, s))
+        while pending:
+            out = pending.popleft().result()
+            s = next(starts, None)
+            if s is not None:
+                pending.append(batcher.submit(make_batch, pool, s))
+            yield out

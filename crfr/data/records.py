@@ -182,6 +182,27 @@ class PackSource:
             pass
 
 
+class SubsetSource:
+    """View of a random-access source restricted to [start, stop) — the
+    per-host index shard for multi-host DP (each host feeds its own slice
+    of the dataset; see crfr.parallel.multihost.process_shard)."""
+
+    def __init__(self, source, start: int, stop: int):
+        assert 0 <= start <= stop <= len(source), (start, stop, len(source))
+        self._source = source
+        self._start = start
+        self._stop = stop
+
+    def __len__(self) -> int:
+        return self._stop - self._start
+
+    def __getitem__(self, i: int):
+        i = int(i)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        return self._source[self._start + i]
+
+
 def open_source(path: str):
     """Dispatch on extension: .array_record → ArrayRecordSource, else pack."""
     if path.endswith((".array_record", ".arrayrecord")):

@@ -127,6 +127,46 @@ def ijbc_11(image_embs, template_ids, media_ids, pair_t1, pair_t2,
                                                   far_targets))
 
 
+def pool_meta(image_embs, template_ids, media_ids, subject_ids
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pool one meta-list worth of image embeddings into templates.
+    → (tpl_embs (T, D) f32 normalized, tpl_subjects (T,), tpl_uids (T,))."""
+    template_ids = np.asarray(template_ids)
+    media_ids = np.asarray(media_ids)
+    subject_ids = np.asarray(subject_ids)
+    media_seg, tpl_of_media, tpl_uids = make_template_index(template_ids,
+                                                            media_ids)
+    tpl = pool_templates(jnp.asarray(image_embs), jnp.asarray(media_seg),
+                         jnp.asarray(tpl_of_media), int(media_seg.max()) + 1,
+                         len(tpl_uids))
+    # subject of each template = subject of any of its images (consistent)
+    subj_of_tpl = np.empty(len(tpl_uids), subject_ids.dtype)
+    lut = {t: i for i, t in enumerate(tpl_uids)}
+    for t, s in zip(template_ids, subject_ids):
+        subj_of_tpl[lut[t]] = s
+    return np.asarray(tpl), subj_of_tpl, tpl_uids
+
+
+def ijbc_1n_two_gallery(probe_embs, probe_subjects,
+                        g1_embs, g1_subjects, g2_embs, g2_subjects,
+                        fpir_targets=(1e-2, 1e-1), max_rank: int = 20
+                        ) -> tuple[IJBCResult, IJBCResult, IJBCResult]:
+    """Standard IJB-C 1:N: evaluate the probe set against EACH of the two
+    disjoint gallery splits (G1/G2) and average — the convention the
+    headline rank-k / TPIR@FPIR numbers use. → (avg, g1_result, g2_result)."""
+    r1 = ijbc_1n(probe_embs, probe_subjects, g1_embs, g1_subjects,
+                 fpir_targets, max_rank)
+    r2 = ijbc_1n(probe_embs, probe_subjects, g2_embs, g2_subjects,
+                 fpir_targets, max_rank)
+    avg = IJBCResult(
+        tar_at_far={},
+        rank1=0.5 * (r1.rank1 + r2.rank1),
+        cmc=0.5 * (np.asarray(r1.cmc) + np.asarray(r2.cmc)),
+        tpir_at_fpir={k: 0.5 * (r1.tpir_at_fpir[k] + r2.tpir_at_fpir[k])
+                      for k in r1.tpir_at_fpir})
+    return avg, r1, r2
+
+
 def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
             fpir_targets=(1e-2, 1e-1), max_rank: int = 20) -> IJBCResult:
     """1:N from POOLED template embeddings (run pool_templates first).

@@ -56,12 +56,20 @@ class ResBlock(nnx.Module):
 
 
 class CoarseUpsampler(nnx.Module):
-    """LR (B, s, s, 3) → coarse HR (B, s·r, s·r, 3) via sub-pixel convs.
-    r must be a power of 2 (each stage doubles)."""
+    """LR (B, s, s, 3) → coarse HR (B, s·r, s·r, 3): a fixed bicubic-↑ skip
+    plus a learned sub-pixel-conv residual. The skip means the coarse output
+    EQUALS bicubic upsampling at init and can only improve on it — the
+    standard SR residual-learning trick, and it guarantees the hallucination
+    path never starts worse than the plain bicubic probe pipeline.
+    r must be a power of 2 (each sub-pixel stage doubles)."""
 
     def __init__(self, scale: int, width: int = 64, n_res: int = 3, *,
-                 rngs: nnx.Rngs, dtype=jnp.float32):
+                 rngs: nnx.Rngs, dtype=jnp.float32, bicubic_skip: bool = True,
+                 resize_mode: str = "pil"):
         assert scale & (scale - 1) == 0, "scale must be a power of 2"
+        self.scale = scale
+        self.bicubic_skip = bicubic_skip
+        self.resize_mode = resize_mode
         self.inp = ConvBlock(3, width, rngs=rngs, dtype=dtype)
         self.body = nnx.List([ResBlock(width, rngs=rngs, dtype=dtype)
                               for _ in range(n_res)])
@@ -73,15 +81,31 @@ class CoarseUpsampler(nnx.Module):
             s //= 2
         self.ups = nnx.List(ups)
         self.out = nnx.Conv(width, 3, (3, 3), padding=1, dtype=dtype, rngs=rngs)
+        # residual path starts at zero → coarse(x) == bicubic↑(x) at init
+        if bicubic_skip:
+            self.out.kernel.value = jnp.zeros_like(self.out.kernel.value)
+            if self.out.bias is not None:
+                self.out.bias.value = jnp.zeros_like(self.out.bias.value)
 
     def __call__(self, x, *, train: bool = False):
-        x = self.inp(x, train=train)
+        r = self.inp(x, train=train)
         for blk in self.body:
-            x = blk(x, train=train)
+            r = blk(r, train=train)
         for up in self.ups:
-            x = _depth_to_space(up(x), 2)
-            x = jax.nn.relu(x)
-        return self.out(x)
+            r = _depth_to_space(up(r), 2)
+            r = jax.nn.relu(r)
+        r = self.out(r)
+        if not self.bicubic_skip:
+            return r
+        # shapes are static under jit, so the bicubic-↑ operator is computed
+        # at trace time and baked as a constant (one matmul pair on-device)
+        from crfr.ops.bicubic import resize_matrix
+        s_in = x.shape[1]
+        w = jnp.asarray(resize_matrix(s_in, s_in * self.scale,
+                                      self.resize_mode), r.dtype)
+        skip = jnp.einsum("oi,bijc,pj->bopc", w, x.astype(r.dtype), w,
+                          preferred_element_type=r.dtype)
+        return skip + r
 
 
 class Hourglass(nnx.Module):
@@ -136,6 +160,11 @@ class Generator(nnx.Module):
         self.body = nnx.List([ResBlock(width, rngs=rngs, dtype=dtype)
                               for _ in range(n_res)])
         self.out = nnx.Conv(width, 3, (3, 3), padding=1, dtype=dtype, rngs=rngs)
+        # zero-init the correction head: G == coarse at init, so with the
+        # coarse net's bicubic skip the whole SR stage starts AT bicubic
+        self.out.kernel.value = jnp.zeros_like(self.out.kernel.value)
+        if self.out.bias is not None:
+            self.out.bias.value = jnp.zeros_like(self.out.bias.value)
 
     def __call__(self, coarse, priors, *, train: bool = False):
         x = jnp.concatenate([coarse, priors.astype(coarse.dtype)], axis=-1)
@@ -172,8 +201,9 @@ class Hallucinator(nnx.Module):
     the prior-consistency loss)."""
 
     def __init__(self, scale: int = 8, n_priors: int = 16, *, rngs: nnx.Rngs,
-                 dtype=jnp.float32):
-        self.coarse = CoarseUpsampler(scale, rngs=rngs, dtype=dtype)
+                 dtype=jnp.float32, resize_mode: str = "pil"):
+        self.coarse = CoarseUpsampler(scale, rngs=rngs, dtype=dtype,
+                                      resize_mode=resize_mode)
         self.prior = PriorEstimator(n_priors, rngs=rngs, dtype=dtype)
         self.gen = Generator(n_priors, rngs=rngs, dtype=dtype)
 

@@ -31,8 +31,10 @@ class FaceRecognizer:
         self.cfg: Config = trainer.cfg
         from crfr.eval.extract import make_extract_fn
 
+        # state_fn threads the trainer's LIVE weights through one compiled
+        # program — keep training the held trainer and embed() follows.
         self._embed = make_extract_fn(
-            lambda x: trainer.model.backbone(x, train=False),
+            trainer.backbone_apply, state_fn=trainer.embed_state,
             flip=flip_tta, flip_fusion=self.cfg.eval.flip_fusion,
             image_size=self.cfg.model.input_size)
 

@@ -3,16 +3,26 @@
 One jitted step:
 
   HR batch → teacher embedding t = T(hr)            (frozen, stop-grad)
-  HR batch → bicubic degrade (random or fixed low) → LR input
-  student: s = S(lr);  r = R(s)
+  HR batch → LR student input, one of:
+     bicubic degrade (random or fixed low, down→up matmul operators), or
+     **hallucinated**: bicubic↓ to the SR scale → frozen Hallucinator G(lr)
+     (``sr_fn`` — the paper's full pipeline, §3.2→§3.5: prior-aided face
+     hallucination FOR cross-resolution recognition)
+  student: s = S(input);  r = R(s)
   L = CE(ArcFace(s, y)) + λ·‖(s + r) − t‖²
 
-Both forwards live in the same XLA program, so the teacher runs in bf16 on
-the same chip with zero host round-trips (the reference pays a second
-independent network pass — §3.5 "second network forward per step").
+All forwards (teacher, G, student) live in the SAME XLA program, so the
+whole cascade runs on-chip with zero host round-trips (the reference pays
+separate network passes — §3.5 "second network forward per step").
 
 The teacher is any pure callable (normalized pixels → embeddings); use
 ``teacher_from_trainer``/``teacher_from_state`` to freeze a trained model.
+The SR plug comes from ``crfr.train.sr_loop.sr_apply_from_state`` /
+``load_sr_apply`` / ``SRTrainer.sr_apply``.
+
+The CE over the student head scales like the main Trainer's (dense /
+streaming flash-softmax / PartialFC class-sharded, cfg.loss.ce_impl) so
+distillation runs at MS1M class counts without materializing (B, C).
 """
 
 from __future__ import annotations
@@ -28,13 +38,14 @@ from flax import nnx
 from jax.sharding import Mesh
 
 from crfr.configs import Config
-from crfr.losses.arcface import MarginHead
+from crfr.losses.arcface import MarginHead, sharded_margin_ce
 from crfr.losses.distill import residual_kd_loss
 from crfr.models.irse import build_backbone
 from crfr.models.residual import ResidualBranch
-from crfr.ops.bicubic import degrade_matrix
+from crfr.ops.bicubic import degrade_matrix, resize_matrix
 from crfr.ops.normalize import normalize
-from crfr.parallel.mesh import batch_sharding, make_mesh, replicated
+from crfr.parallel.mesh import (batch_sharding, class_sharding, make_mesh,
+                                pad_to_multiple, replicated)
 from crfr.train.loop import lr_schedule
 from crfr.utils.logging import MetricsWriter
 
@@ -68,20 +79,33 @@ class StudentModel(nnx.Module):
                                        input_size=mc.input_size,
                                        rngs=rngs, dtype=dtype)
         self.residual = ResidualBranch(mc.embedding_dim, rngs=rngs)
-        self.head = MarginHead(mc.embedding_dim, cfg.data.num_classes,
+        # Class axis padded to a mesh-divisible size; ghost classes masked
+        # out of every CE variant via num_valid (as in loop.FaceTrainModel).
+        c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)
+        self.head = MarginHead(mc.embedding_dim, c_pad,
                                margin_type=lc.head, s=lc.scale, m=lc.margin,
-                               easy_margin=lc.easy_margin, rngs=rngs)
+                               easy_margin=lc.easy_margin,
+                               num_valid=(cfg.data.num_classes
+                                          if c_pad != cfg.data.num_classes
+                                          else None), rngs=rngs)
 
 
 class DistillTrainer:
     def __init__(self, cfg: Config, teacher_fn: Callable,
                  mesh: Mesh | None = None, steps_per_epoch: int = 1000,
                  metrics: MetricsWriter | None = None,
-                 kd_normalize: bool = False):
+                 kd_normalize: bool = False,
+                 sr_fn: Callable | None = None, sr_scale: int = 8):
         """kd_normalize=True computes the KD distance on L2-normalized
         embeddings — scale-invariant, useful when the teacher's feature-BN
         statistics are not fully converged (raw-feature L2 follows the
-        paper's formulation and is the default)."""
+        paper's formulation and is the default).
+
+        ``sr_fn`` (normalized LR → normalized SR pixels, pure/jittable —
+        see sr_loop.sr_apply_from_state) switches the student input from
+        bicubic-degraded to HALLUCINATED faces: hr → bicubic↓ by
+        ``sr_scale`` → G(lr) → student. G runs frozen inside the same
+        jitted step."""
         assert cfg.loss.distill_weight > 0, "set loss.distill_weight > 0"
         self.kd_normalize = kd_normalize
         self.cfg = cfg
@@ -91,29 +115,79 @@ class DistillTrainer:
         student = StudentModel(cfg, rngs=nnx.Rngs(cfg.train.seed + 1))
         self.graphdef, state = nnx.split(student)
         rep = replicated(self.mesh)
-        self.state = jax.device_put(state, rep)
+        cls = class_sharding(self.mesh)
+
+        def place(path, x):
+            s = "/".join(str(getattr(p, "name", getattr(p, "key", p)))
+                         for p in path)
+            if "head" in s and "weight" in s and cfg.mesh.model > 1:
+                return jax.device_put(x, cls)
+            return jax.device_put(x, rep)
+
+        self.state = jax.tree_util.tree_map_with_path(place, state)
 
         self.schedule = lr_schedule(cfg, steps_per_epoch)
         self.tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
-        self.opt_state = jax.device_put(
+        opt_state = jax.device_put(
             self.tx.init(nnx.state(student, nnx.Param)), rep)
+        if cfg.mesh.model > 1:
+            # momentum buffers of the sharded head W follow W's sharding
+            wshape = student.head.weight.value.shape
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, cls)
+                if hasattr(x, "shape") and tuple(x.shape) == tuple(wshape)
+                else x, opt_state)
+        self.opt_state = opt_state
         self.step = 0
 
-        dc = cfg.data
-        lows = list(range(dc.degrade_min, min(dc.degrade_max, dc.image_size) + 1))
-        table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
-                          for l in lows])
-        self._table = jax.device_put(jnp.asarray(table), rep)
-        self._n_lows = len(lows)
-        self._step_fn = self._build_step(teacher_fn)
+        # CE implementation — same auto rules as train.loop.Trainer.
+        impl = cfg.loss.ce_impl
+        if impl == "auto":
+            if cfg.mesh.model > 1:
+                impl = "sharded"
+            elif cfg.data.num_classes > cfg.loss.ce_streaming_threshold:
+                impl = "streaming"
+            else:
+                impl = "dense"
+        c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)
+        n_valid = cfg.data.num_classes if c_pad != cfg.data.num_classes else None
+        if impl == "sharded":
+            assert cfg.mesh.model > 1, "sharded CE needs mesh.model > 1"
+            self._sharded_ce = sharded_margin_ce(
+                self.mesh, margin_type=cfg.loss.head, s=cfg.loss.scale,
+                m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
+                num_valid=n_valid)
+        else:
+            self._sharded_ce = None
+        self._ce_impl = impl
 
-    def _build_step(self, teacher_fn):
+        dc = cfg.data
+        self.sr_scale = sr_scale
+        if sr_fn is not None:
+            assert dc.image_size % sr_scale == 0, (dc.image_size, sr_scale)
+            # one-way bicubic ↓ operator (f32); G provides the ↑ path
+            self._table = jax.device_put(jnp.asarray(resize_matrix(
+                dc.image_size, dc.image_size // sr_scale, dc.resize_mode)),
+                rep)
+            self._n_lows = 0
+        else:
+            lows = list(range(dc.degrade_min,
+                              min(dc.degrade_max, dc.image_size) + 1))
+            table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
+                              for l in lows])
+            self._table = jax.device_put(jnp.asarray(table), rep)
+            self._n_lows = len(lows)
+        self._step_fn = self._build_step(teacher_fn, sr_fn)
+
+    def _build_step(self, teacher_fn, sr_fn=None):
         cfg = self.cfg
         graphdef = self.graphdef
         table, n_lows = self._table, self._n_lows
         lam = cfg.loss.distill_weight
         kd_norm = self.kd_normalize
         tx = self.tx
+        sharded_ce = self._sharded_ce
+        ce_impl = self._ce_impl
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def step_fn(state, opt_state, step, images, labels):
@@ -121,23 +195,41 @@ class DistillTrainer:
             student = nnx.merge(graphdef, state)
             x_hr = normalize(images.astype(jnp.float32))
             t_emb = teacher_fn(x_hr)                       # frozen teacher
-            xf = images.astype(jnp.float32)
-            if cfg.data.per_sample_degrade:
-                idx = jax.random.randint(key, (xf.shape[0],), 0, n_lows)
-                w = table[idx]
-                x_lr = jnp.einsum("boi,bijc,bpj->bopc", w, xf, w,
-                                  preferred_element_type=jnp.float32)
+            if sr_fn is not None:
+                # hallucination path: bicubic↓ (normalized space — the
+                # operator is linear) → frozen G ↑ (§3.2→§3.5 join)
+                lr = jnp.einsum("oi,bijc,pj->bopc", table, x_hr, table,
+                                preferred_element_type=jnp.float32)
+                x_in = sr_fn(lr)
             else:
-                idx = jax.random.randint(key, (), 0, n_lows)
-                w = table[idx]
-                x_lr = jnp.einsum("oi,bijc,pj->bopc", w, xf, w,
-                                  preferred_element_type=jnp.float32)
-            x_lr = normalize(x_lr)
+                xf = images.astype(jnp.float32)
+                if cfg.data.per_sample_degrade:
+                    idx = jax.random.randint(key, (xf.shape[0],), 0, n_lows)
+                    w = table[idx]
+                    x_lr = jnp.einsum("boi,bijc,bpj->bopc", w, xf, w,
+                                      preferred_element_type=jnp.float32)
+                else:
+                    idx = jax.random.randint(key, (), 0, n_lows)
+                    w = table[idx]
+                    x_lr = jnp.einsum("oi,bijc,pj->bopc", w, xf, w,
+                                      preferred_element_type=jnp.float32)
+                x_in = normalize(x_lr)
 
             def loss_fn(student):
-                s = student.backbone(x_lr, train=True)
+                s = student.backbone(x_in, train=True)
                 r = student.residual(s, train=True)
-                ce = student.head.loss(s, labels)
+                if sharded_ce is not None:
+                    ce = sharded_ce(s, labels, student.head.weight.value)
+                elif ce_impl == "streaming":
+                    from crfr.losses.arcface import streaming_margin_ce
+                    ce = streaming_margin_ce(
+                        s, student.head.weight.value, labels,
+                        margin_type=cfg.loss.head, s=cfg.loss.scale,
+                        m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
+                        block=cfg.loss.ce_block,
+                        num_valid=student.head.num_valid)
+                else:
+                    ce = student.head.loss(s, labels)
                 kd = residual_kd_loss(s, r, t_emb, weight=lam,
                                       normalize=kd_norm)
                 return ce + kd, (ce, kd)
@@ -177,11 +269,12 @@ class DistillTrainer:
 
     # ------------------------------------------------------------------
     def student_embed_fn(self, with_residual: bool = False):
-        """Jitted: raw pixels → student embedding (optionally s + r)."""
-        graphdef, state = self.graphdef, self.state
+        """Raw pixels → student embedding (optionally s + r), compiled once,
+        reading the trainer's LIVE state at every call."""
+        graphdef = self.graphdef
 
         @jax.jit
-        def f(images):
+        def f(state, images):
             student = nnx.merge(graphdef, state)
             s = student.backbone(normalize(jnp.asarray(images, jnp.float32)),
                                  train=False)
@@ -189,4 +282,4 @@ class DistillTrainer:
                 return s + student.residual(s, train=False)
             return s
 
-        return f
+        return lambda images: f(self.state, images)

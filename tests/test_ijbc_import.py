@@ -97,6 +97,46 @@ def test_ijbc_1n(rng):
     assert res.tpir_at_fpir[0.25] > 0.8
 
 
+def test_ijbc_1n_two_gallery_averages(rng):
+    """G1/G2 split averaging: avg result == mean of per-split results, and
+    an asymmetric construction (G1 clean, G2 noisy) yields avg strictly
+    between them."""
+    from crfr.eval.ijbc import ijbc_1n_two_gallery
+
+    d = 16
+    protos = rng.normal(0, 1, (20, d)).astype(np.float32)
+    g1 = protos[:10] + rng.normal(0, 0.02, (10, d)).astype(np.float32)
+    # G2 is deterministically broken: every entry holds ANOTHER subject's
+    # prototype (labels rolled by 5) → rank-1 must be 0 there.
+    g2 = protos[10 + (np.arange(10) + 5) % 10]
+    probes = protos + rng.normal(0, 0.05, protos.shape).astype(np.float32)
+    p_subj = np.arange(20)
+    avg, r1, r2 = ijbc_1n_two_gallery(
+        probes, p_subj, g1, np.arange(10), g2, np.arange(10, 20),
+        fpir_targets=(0.25,))
+    assert avg.rank1 == pytest.approx(0.5 * (r1.rank1 + r2.rank1))
+    np.testing.assert_allclose(avg.cmc, 0.5 * (np.asarray(r1.cmc)
+                                               + np.asarray(r2.cmc)))
+    assert avg.tpir_at_fpir[0.25] == pytest.approx(
+        0.5 * (r1.tpir_at_fpir[0.25] + r2.tpir_at_fpir[0.25]))
+    assert r1.rank1 == 1.0 and r2.rank1 == 0.0       # asymmetry is visible
+    assert avg.rank1 == pytest.approx(0.5)
+
+
+def test_pool_meta_subjects(rng):
+    from crfr.eval.ijbc import pool_meta
+
+    embs = rng.normal(0, 1, (6, 8)).astype(np.float32)
+    tids = np.array([3, 3, 9, 9, 9, 5])
+    mids = np.array([0, 1, 2, 2, 3, 4])
+    sids = np.array([70, 70, 71, 71, 71, 72])
+    tpl, subj, uids = pool_meta(embs, tids, mids, sids)
+    assert tpl.shape == (3, 8)
+    assert uids.tolist() == [3, 5, 9]
+    assert subj.tolist() == [70, 72, 71]
+    np.testing.assert_allclose(np.linalg.norm(tpl, axis=-1), 1.0, atol=1e-5)
+
+
 # ------------------------- torch import ------------------------------------
 
 

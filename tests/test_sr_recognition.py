@@ -1,0 +1,201 @@
+"""Hallucination-aided recognition — the paper's TITLE pipeline, closed
+end-to-end (round-1 VERDICT "Next #1"): SR output feeds the student and the
+eval probes, and helps.
+
+Tiers:
+1. init invariants: with the bicubic-skip coarse net and zero-init
+   correction heads, G(lr) == bicubic↑(lr) exactly → the SR-routed extract
+   path equals the plain degraded path at init (never WORSE than bicubic).
+2. the trained G beats bicubic on PSNR (detail recovery is real).
+3. the SR-fed student beats the raw-LR student on the same verification
+   protocol (the paper's claim, reproduced on synthetic fine-detail faces
+   where bicubic destroys identity).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crfr.configs import Config, DataCfg, LossCfg, MeshCfg, ModelCfg, TrainCfg
+from crfr.data.synthetic import SyntheticFaces
+from crfr.eval.image_quality import psnr
+from crfr.ops.bicubic import degrade_updown, resize_matrix
+from crfr.ops.normalize import denormalize, normalize
+from crfr.train.sr_loop import SRTrainer
+
+SIZE, SCALE, NC = 32, 4, 8
+LR = SIZE // SCALE
+
+
+def _cfg(distill=0.0):
+    return Config(
+        name="sr-rec-test",
+        mesh=MeshCfg(data=8, model=1),
+        data=DataCfg(image_size=SIZE, num_classes=NC, degrade_min=LR,
+                     degrade_max=LR),
+        model=ModelCfg(backbone="ir_18", compute_dtype="float32",
+                       dropout=0.0, input_size=SIZE),
+        loss=LossCfg(scale=16.0, margin=0.2, distill_weight=distill,
+                     sr_adv_weight=0.0, sr_identity_weight=0.0),
+        train=TrainCfg(batch_size=16, lr=0.05, warmup_steps=5,
+                       log_every=10 ** 9),
+    )
+
+
+def test_sr_equals_bicubic_at_init(rng):
+    """Zero-init correction heads + bicubic skip ⇒ the hallucination path
+    starts EXACTLY at the bicubic baseline, both raw and inside
+    make_extract_fn routing."""
+    tr = SRTrainer(_cfg(), scale=SCALE, n_priors=4)
+    imgs = rng.uniform(0, 255, (4, SIZE, SIZE, 3)).astype(np.float32)
+    down = jnp.asarray(resize_matrix(SIZE, LR, "pil"))
+    lrn = jnp.einsum("oi,bijc,pj->bopc", down, normalize(jnp.asarray(imgs)),
+                     down)
+    sr = np.asarray(denormalize(tr.sr_apply(ema=False)(lrn)))
+    bic = np.asarray(degrade_updown(jnp.asarray(imgs), LR, "pil"))
+    np.testing.assert_allclose(sr, bic, atol=1e-2)
+
+    # extract routing: sr_apply path == degrade path at G init
+    from crfr.eval.extract import make_extract_fn
+
+    emb_dim = 8
+    w_proj = jnp.asarray(rng.normal(0, 1, (SIZE * SIZE * 3, emb_dim)),
+                         jnp.float32)
+    backbone = lambda x: x.reshape(x.shape[0], -1) @ w_proj    # noqa: E731
+    f_bic = make_extract_fn(backbone, degrade_to=LR, image_size=SIZE,
+                            flip=False)
+    f_sr = make_extract_fn(backbone, degrade_to=LR, image_size=SIZE,
+                           flip=False, sr_apply=tr.sr_apply(ema=False))
+    np.testing.assert_allclose(np.asarray(f_sr(jnp.asarray(imgs))),
+                               np.asarray(f_bic(jnp.asarray(imgs))),
+                               atol=1e-4)
+
+
+def test_cli_sr_pipeline(tmp_path, capsys):
+    """CLI drive of the full title pipeline: teacher → hallucinator →
+    SR-fed distillation → SR-routed eval (--sr-ckpt everywhere)."""
+    import json
+
+    from crfr.cli import main
+    from crfr.data.bins import save_bin
+
+    ov = [
+        "mesh.data=8", "data.image_size=32", "data.num_classes=4",
+        "data.degrade_min=8", "data.degrade_max=8",
+        "model.backbone=ir_18", "model.compute_dtype=float32",
+        "model.dropout=0.0", "model.input_size=32",
+        "loss.scale=16.0", "loss.margin=0.2",
+        "train.batch_size=8", "train.warmup_steps=2",
+        "train.checkpoint_every_steps=5",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+    ]
+    assert main(["train", "--preset", "casia_arcface", "--max-steps", "3",
+                 *ov]) == 0
+    assert main(["train-sr", "--preset", "casia_arcface", "--scale", "4",
+                 "--max-steps", "2",
+                 "--teacher-ckpt", f"{tmp_path}/ckpt", *ov]) == 0
+    capsys.readouterr()
+    assert main(["train-distill", "--preset", "casia_arcface",
+                 "--teacher-ckpt", f"{tmp_path}/ckpt",
+                 "--sr-ckpt", f"{tmp_path}/ckpt/sr", "--sr-scale", "4",
+                 "--max-steps", "2", *ov,
+                 f"train.checkpoint_dir={tmp_path}/distill"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] == 2 and np.isfinite(res["loss"])
+
+    # SR-routed verification eval on a tiny synthetic .bin
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    i1, i2, issame = data.eval_pairs(np.random.default_rng(3), 8)
+    bin_path = str(tmp_path / "pairs.bin")
+    save_bin(bin_path, i1.astype(np.uint8), i2.astype(np.uint8), issame)
+    assert main(["eval-bin", "--ckpt", f"{tmp_path}/ckpt",
+                 "--bin", bin_path, "--preset", "casia_arcface",
+                 "--sr-ckpt", f"{tmp_path}/ckpt/sr", "--sr-scale", "4",
+                 *ov, "eval.n_folds=4", "eval.batch_size=16"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= res["accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_hallucination_aided_recognition():
+    """Train teacher, G, and two students; assert (a) G > bicubic on PSNR,
+    (b) the G-fed student beats the raw-LR student on the same held-out
+    verification protocol, (c) it also sits closer to the teacher."""
+    from crfr.eval.verification import evaluate_verification
+    from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+    from crfr.train.loop import Trainer
+
+    # identity lives at FINE scales → bicubic down to 8×8 destroys it;
+    # hallucination (learned detail prior) is the only way back.
+    data = SyntheticFaces(num_classes=NC, image_size=SIZE, seed=0,
+                          fine_detail=True, fine=24, fine_weight=60)
+
+    teacher = Trainer(_cfg(), steps_per_epoch=100)
+    for imgs, labels in data.batches(16, 40, seed=1):
+        teacher.train_step(imgs, labels)
+
+    sr_tr = SRTrainer(_cfg(), scale=SCALE, n_priors=4)
+    for imgs, _ in data.batches(16, 100, seed=2):
+        sr_tr.train_step(imgs)
+
+    # (a) PSNR: G must beat plain bicubic up (detail recovery)
+    imgs, _ = data.sample(np.random.default_rng(7), 16)
+    down = jnp.asarray(resize_matrix(SIZE, LR, "pil"))
+    hrn = normalize(jnp.asarray(imgs, jnp.float32))
+    lrn = jnp.einsum("oi,bijc,pj->bopc", down, hrn, down)
+    sr = denormalize(sr_tr.sr_apply()(lrn))
+    bic = degrade_updown(jnp.asarray(imgs, jnp.float32), LR, "pil")
+    p_sr = float(jnp.mean(psnr(jnp.clip(sr, 0, 255), jnp.asarray(imgs))))
+    p_bic = float(jnp.mean(psnr(bic, jnp.asarray(imgs))))
+    assert p_sr > p_bic + 0.5, (p_sr, p_bic)
+
+    # two students, identical schedule/data, different input path
+    stA = DistillTrainer(_cfg(distill=1.0), teacher_from_trainer(teacher),
+                         steps_per_epoch=100, kd_normalize=True)
+    stB = DistillTrainer(_cfg(distill=1.0), teacher_from_trainer(teacher),
+                         steps_per_epoch=100, kd_normalize=True,
+                         sr_fn=sr_tr.sr_apply(), sr_scale=SCALE)
+    for imgs, labels in data.batches(16, 50, seed=3):
+        stA.train_step(imgs, labels)
+    for imgs, labels in data.batches(16, 50, seed=3):
+        stB.train_step(imgs, labels)
+
+    # (b) held-out verification, probe side degraded to LR; each student
+    # reconstructs the probe with ITS OWN input convention (same protocol,
+    # same information).
+    i1, i2, issame = data.eval_pairs(np.random.default_rng(11), 96)
+
+    def nrm(x):
+        x = np.asarray(x)
+        return x / np.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
+
+    def acc_and_gap(st, use_sr):
+        f = st.student_embed_fn(with_residual=True)
+        e1 = f(jnp.asarray(i1))
+        x2 = jnp.asarray(i2, jnp.float32)
+        if use_sr:
+            lr2 = jnp.einsum("oi,bijc,pj->bopc", down, normalize(x2), down)
+            x2p = denormalize(sr_tr.sr_apply()(lr2))
+        else:
+            x2p = degrade_updown(x2, LR, "pil")
+        e2 = f(x2p)
+        res = evaluate_verification(nrm(e1), nrm(e2), issame, n_folds=4)
+        return res.accuracy_mean
+
+    accA = acc_and_gap(stA, use_sr=False)
+    accB = acc_and_gap(stB, use_sr=True)
+    assert accB > accA, (accA, accB)
+
+    # (c) the SR student's embeddings sit closer to the teacher's HR space
+    imgs, _ = data.sample(np.random.default_rng(13), 32)
+    t_emb = nrm(teacher.embed_fn()(jnp.asarray(imgs)))
+    xl = jnp.einsum("oi,bijc,pj->bopc", down,
+                    normalize(jnp.asarray(imgs, jnp.float32)), down)
+    sA = nrm(stA.student_embed_fn(True)(
+        degrade_updown(jnp.asarray(imgs, jnp.float32), LR, "pil")))
+    sB = nrm(stB.student_embed_fn(True)(denormalize(sr_tr.sr_apply()(xl))))
+    gapA = float(np.mean(np.sum((sA - t_emb) ** 2, -1)))
+    gapB = float(np.mean(np.sum((sB - t_emb) ** 2, -1)))
+    assert gapB < gapA, (gapA, gapB)
