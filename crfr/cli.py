@@ -522,6 +522,23 @@ def cmd_extract(args, extra) -> int:
     return 0
 
 
+def cmd_export(args, extra) -> int:
+    """AOT serving export: checkpoint → portable StableHLO artifact
+    (weights baked, optional degrade / hallucinator / flip-TTA)."""
+    from crfr.serve import export_embed
+
+    tr, cfg = _embed_fn_from_ckpt(args, extra)
+    sr_apply = _sr_apply_if_requested(args, cfg)
+    degrade = args.degrade or cfg.data.eval_degrade_size
+    if sr_apply is not None and not degrade:
+        degrade = cfg.model.input_size // args.sr_scale
+    meta = export_embed(tr, args.out, batch=args.batch,
+                        degrade_to=degrade or None,
+                        flip_tta=args.flip_tta, sr_apply=sr_apply)
+    print(json.dumps(meta | {"out": args.out}))
+    return 0
+
+
 def cmd_pack(args, extra) -> int:
     from crfr.data.records import pack_image_folder, write_array_record, write_pack
 
@@ -649,6 +666,18 @@ def main(argv=None) -> int:
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("export")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--flip-tta", action="store_true")
+    p.add_argument("--sr-ckpt", default="",
+                   help="bake a frozen hallucinator in front of the backbone")
+    p.add_argument("--sr-scale", type=int, default=8)
+    p.add_argument("--preset", default="casia_arcface")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("pack")
     p.add_argument("--root", default="",

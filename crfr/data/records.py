@@ -204,9 +204,14 @@ class SubsetSource:
 
 
 def open_source(path: str):
-    """Dispatch on extension: .array_record → ArrayRecordSource, else pack."""
+    """Dispatch on extension: .array_record → ArrayRecordSource,
+    .rec → MXNet RecordIO (insightface layout, read in place — no
+    conversion step needed), else .crfrpack."""
     if path.endswith((".array_record", ".arrayrecord")):
         return ArrayRecordSource(path)
+    if path.endswith(".rec"):
+        from crfr.data.mxrec import MXFaceSource
+        return MXFaceSource(path)
     return PackSource(path)
 
 

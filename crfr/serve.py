@@ -29,13 +29,23 @@ _MAGIC = b"CRFRX001"
 
 def build_serving_fn(backbone_apply: Callable, degrade_to: int | None = None,
                      resize_mode: str = "pil", flip_tta: bool = False,
-                     image_size: int = 112) -> Callable:
-    """Raw (B, S, S, 3) pixels (uint8/f32) → (B, D) f32 embeddings."""
-    from crfr.ops.bicubic import degrade_matrix
+                     image_size: int = 112,
+                     sr_apply: Callable | None = None) -> Callable:
+    """Raw (B, S, S, 3) pixels (uint8/f32) → (B, D) f32 embeddings.
+
+    With ``sr_apply`` (frozen hallucinator, sr_loop.load_sr_apply) the
+    pipeline becomes ↓``degrade_to`` → G ↑ → backbone — the full
+    hallucination-aided serving path in one AOT artifact."""
+    from crfr.ops.bicubic import degrade_matrix, resize_matrix
     from crfr.ops.normalize import normalize
 
-    w = (jnp.asarray(degrade_matrix(image_size, degrade_to, resize_mode))
-         if degrade_to is not None else None)
+    if sr_apply is not None:
+        assert degrade_to is not None, "sr_apply needs degrade_to (LR size)"
+        w = jnp.asarray(resize_matrix(image_size, degrade_to, resize_mode))
+    elif degrade_to is not None:
+        w = jnp.asarray(degrade_matrix(image_size, degrade_to, resize_mode))
+    else:
+        w = None
 
     def f(images):
         x = images.astype(jnp.float32)
@@ -44,6 +54,8 @@ def build_serving_fn(backbone_apply: Callable, degrade_to: int | None = None,
                            preferred_element_type=jnp.float32,
                            precision="highest")
         x = normalize(x)
+        if sr_apply is not None:
+            x = sr_apply(x)
         emb = backbone_apply(x)
         if flip_tta:
             emb = emb + backbone_apply(x[:, :, ::-1, :])
@@ -54,8 +66,10 @@ def build_serving_fn(backbone_apply: Callable, degrade_to: int | None = None,
 
 def export_embed(trainer, path: str, batch: int = 256,
                  degrade_to: int | None = None, flip_tta: bool = False,
-                 input_dtype=jnp.uint8) -> dict:
-    """Export a Trainer's backbone as a serialized serving artifact."""
+                 input_dtype=jnp.uint8, sr_apply: Callable | None = None
+                 ) -> dict:
+    """Export a Trainer's backbone (optionally behind a frozen hallucinator)
+    as a serialized serving artifact."""
     cfg = trainer.cfg
     size = cfg.model.input_size
     model = trainer.model
@@ -63,7 +77,8 @@ def export_embed(trainer, path: str, batch: int = 256,
     fn = build_serving_fn(lambda x: model.backbone(x, train=False),
                           degrade_to=degrade_to,
                           resize_mode=cfg.data.resize_mode,
-                          flip_tta=flip_tta, image_size=size)
+                          flip_tta=flip_tta, image_size=size,
+                          sr_apply=sr_apply)
     spec = jax.ShapeDtypeStruct((batch, size, size, 3), input_dtype)
     exported = jexport.export(jax.jit(fn))(spec)
     blob = exported.serialize()
@@ -71,6 +86,7 @@ def export_embed(trainer, path: str, batch: int = 256,
         "batch": batch, "image_size": size,
         "embedding_dim": cfg.model.embedding_dim,
         "degrade_to": degrade_to, "flip_tta": flip_tta,
+        "hallucinated": sr_apply is not None,
         "input_dtype": str(np.dtype(input_dtype)),
         "platforms": list(exported.platforms),
         "backbone": cfg.model.backbone,

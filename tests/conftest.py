@@ -27,6 +27,13 @@ import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: the suite re-compiles the same CPU-mesh
+    # programs every run (every round); caching them on disk cuts suite
+    # wall-time substantially from the second run on.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("CRFR_TEST_CACHE",
+                                     "/tmp/crfr_test_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

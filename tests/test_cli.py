@@ -77,6 +77,24 @@ def test_cli_pack_and_eval_paths(tmp_path, capsys):
     assert os.path.exists(out)
 
 
+def test_cli_export(tmp_path, tiny_overrides, capsys):
+    rc = main(["train", "--preset", "casia_arcface", "--max-steps", "2",
+               *tiny_overrides])
+    assert rc == 0
+    capsys.readouterr()
+    out = str(tmp_path / "m.crfrx")
+    rc = main(["export", "--ckpt", f"{tmp_path}/ckpt", "--out", out,
+               "--batch", "4", "--degrade", "16", *tiny_overrides])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["batch"] == 4 and res["degrade_to"] == 16
+    from crfr.serve import load_embed
+    import jax.numpy as jnp
+    fn = load_embed(out)
+    emb = np.asarray(fn(jnp.zeros((4, 32, 32, 3), jnp.uint8)))
+    assert emb.shape == (4, 512) and np.isfinite(emb).all()
+
+
 def test_cli_unknown_override_fails(tiny_overrides):
     with pytest.raises(KeyError):
         main(["train", "--preset", "casia_arcface", "--max-steps", "1",

@@ -203,3 +203,47 @@ def test_subset_source(tmp_path):
         sub[4]
     # shards from process_shard tile the index space exactly
     from crfr.parallel.multihost import process_shard  # noqa: F401  (API pin)
+
+
+def test_resumable_device_feed_state_tracks_consumed(tmp_path):
+    """Prefetch must NOT advance the checkpointable data state past the
+    batch the consumer actually received (exact-resume guarantee)."""
+    from crfr.parallel.mesh import make_mesh
+    from crfr.configs import MeshCfg
+    from crfr.train.feed import ResumableDeviceFeed
+
+    class FakeBatches:
+        """Deterministic (images, labels) stream with grain-like state."""
+
+        def __init__(self):
+            self.i = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            b = np.full((2, 4, 4, 3), self.i, np.uint8), np.full(2, self.i,
+                                                                 np.int32)
+            self.i += 1
+            return b
+
+        def get_state(self):
+            return {"next": self.i}
+
+        def set_state(self, s):
+            self.i = s["next"]
+
+    src = FakeBatches()
+    feed = ResumableDeviceFeed(src, make_mesh(MeshCfg(data=1, model=1)),
+                               depth=2)
+    assert feed.state == {"next": 0}         # nothing consumed yet
+    imgs, labels = next(feed)
+    assert int(np.asarray(labels)[0]) == 0
+    assert feed.state == {"next": 1}         # resume replays batch 1 next
+    next(feed)
+    assert feed.state == {"next": 2}
+    # a fresh source fast-forwarded to feed.state yields the right batch
+    src2 = FakeBatches()
+    src2.set_state(feed.state)
+    _, l2 = next(src2)
+    assert int(l2[0]) == 2

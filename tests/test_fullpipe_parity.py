@@ -19,6 +19,7 @@ on either half trips it.
 """
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -117,6 +118,7 @@ def _ref_protocol(dist: np.ndarray, issame: np.ndarray, n_folds: int):
     return np.asarray(accs), np.asarray(thrs)
 
 
+@pytest.mark.slow
 def test_full_pipeline_accuracy_parity():
     from crfr.data.synthetic import SyntheticFaces
 

@@ -97,6 +97,19 @@ def test_convert_rec_into_train_pipeline(tmp_path, rng):
     assert set(labels.tolist()) <= {0, 1}
 
 
+def test_open_source_rec_direct(tmp_path, rng):
+    """open_source('x.rec') reads MXNet records in place — MS1M train.rec
+    is a drop-in train source without conversion."""
+    from crfr.data.records import open_source
+
+    _, enc = _jpeg(rng, size=16)
+    rec = str(tmp_path / "d.rec")
+    write_mx_record(rec, [(0.0, enc), (1.0, enc)], insightface_meta=True)
+    src = open_source(rec)
+    assert len(src) == 2 and src[1][0] == 1
+    assert src[0][1].shape == (16, 16, 3)
+
+
 def test_pack_cli_from_rec(tmp_path, rng, capsys):
     from crfr.cli import main
 

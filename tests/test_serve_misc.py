@@ -50,6 +50,32 @@ def test_export_load_roundtrip(tmp_path):
     np.testing.assert_allclose(emb, want, atol=1e-4)
 
 
+def test_export_hallucinated_pipeline(tmp_path):
+    """AOT artifact with the frozen hallucinator baked in: ↓8 → G ↑ →
+    backbone. At G init (bicubic skip, zero-init heads) it must equal the
+    plain degrade artifact."""
+    from crfr.serve import export_embed, load_embed, read_meta
+    from crfr.train.sr_loop import SRTrainer
+
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg, steps_per_epoch=10)
+    sr_tr = SRTrainer(cfg, scale=4, n_priors=4)
+    p_sr = str(tmp_path / "sr.crfrx")
+    p_plain = str(tmp_path / "plain.crfrx")
+    meta = export_embed(tr, p_sr, batch=4, degrade_to=8,
+                        sr_apply=sr_tr.sr_apply(ema=False))
+    assert meta["hallucinated"] is True
+    export_embed(tr, p_plain, batch=4, degrade_to=8)
+    assert read_meta(p_plain)["hallucinated"] is False
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+    e_sr = np.asarray(load_embed(p_sr)(jnp.asarray(x)))
+    e_plain = np.asarray(load_embed(p_plain)(jnp.asarray(x)))
+    assert e_sr.shape == (4, 512) and np.isfinite(e_sr).all()
+    np.testing.assert_allclose(e_sr, e_plain, atol=1e-2)
+
+
 def test_export_bad_magic(tmp_path):
     from crfr.serve import load_embed
 
