@@ -52,7 +52,8 @@ def cmd_train(args, extra) -> int:
 
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "metrics.jsonl"))
+                                         "metrics.jsonl"),
+                            tensorboard_dir=args.tensorboard or None)
     from crfr.parallel.multihost import (maybe_initialize_distributed,
                                          process_shard)
     distributed = maybe_initialize_distributed()
@@ -152,7 +153,8 @@ def cmd_train_sr(args, extra) -> int:
 
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "sr_metrics.jsonl"))
+                                         "sr_metrics.jsonl"),
+                            tensorboard_dir=args.tensorboard or None)
     teacher_fn = None
     if args.teacher_ckpt:
         # identity loss ‖T(sr) − T(hr)‖ via a frozen recognition backbone
@@ -165,8 +167,14 @@ def cmd_train_sr(args, extra) -> int:
         teacher_tr = Trainer(tcfg, steps_per_epoch=1000)
         teacher_tr.state = tck.restore(teacher_tr.state)
         teacher_fn = teacher_from_trainer(teacher_tr)
+    perceptual_fn = None
+    if args.perceptual > 0:
+        assert args.teacher_ckpt, "--perceptual requires --teacher-ckpt"
+        from crfr.train.sr_loop import perceptual_from_trainer
+        cfg = cfg.override(**{"loss.sr_perceptual_weight": args.perceptual})
+        perceptual_fn = perceptual_from_trainer(teacher_tr)
     tr = SRTrainer(cfg, scale=args.scale, metrics=metrics,
-                   teacher_fn=teacher_fn)
+                   teacher_fn=teacher_fn, perceptual_fn=perceptual_fn)
     ck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "sr"),
                       keep=cfg.train.keep_checkpoints)
     if args.resume and ck.latest_step() is not None:
@@ -216,10 +224,26 @@ def cmd_train_distill(args, extra) -> int:
     teacher_tr.state = tck.restore(teacher_tr.state)
 
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "distill_metrics.jsonl"))
-    sr_fn = _sr_apply_if_requested(args, cfg)   # hallucination-aided mode
+                                         "distill_metrics.jsonl"),
+                            tensorboard_dir=args.tensorboard or None)
+    sr_fn = sr_module = None
+    if getattr(args, "sr_finetune", False):
+        # joint G fine-tuning: restore the hallucinator as a TRAINABLE
+        # module (its state checkpoints with the student from here on)
+        assert args.sr_ckpt, "--sr-finetune requires --sr-ckpt"
+        from crfr.train.checkpoints import Checkpointer as _Ck
+        from crfr.train.sr_loop import SRTrainer
+        sr_tr = SRTrainer(cfg, scale=args.sr_scale)
+        _ck = _Ck(args.sr_ckpt, keep=1)
+        sr_tr.load_state_dict(_ck.restore(sr_tr.state_dict()))
+        _ck.close()
+        sr_module = (sr_tr.g_graphdef, sr_tr._serve_state(ema=True))
+    else:
+        sr_fn = _sr_apply_if_requested(args, cfg)   # frozen-G mode
     st = DistillTrainer(cfg, teacher_from_trainer(teacher_tr),
-                        metrics=metrics, sr_fn=sr_fn, sr_scale=args.sr_scale)
+                        metrics=metrics, sr_fn=sr_fn, sr_scale=args.sr_scale,
+                        sr_module=sr_module, sr_lr=args.sr_lr,
+                        sr_pixel_weight=args.sr_pixel_weight)
     sck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "student"),
                        keep=cfg.train.keep_checkpoints)
     if args.resume and sck.latest_step() is not None:
@@ -232,6 +256,17 @@ def cmd_train_distill(args, extra) -> int:
             batch_size=cfg.train.batch_size, seed=cfg.train.seed))
     else:
         batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
+    student_embed = st.student_embed_fn(with_residual=True)  # live state
+
+    def in_loop_eval(step: int):
+        # verification of the distilled student on a .bin pair set
+        if not args.eval_bin:
+            return
+        from crfr.data.bins import evaluate_bin
+        res = evaluate_bin(args.eval_bin, student_embed, cfg.eval.batch_size,
+                           cfg.model.input_size, cfg.eval.n_folds)
+        metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
+
     m = {}
     start = st.step
     for i, (imgs, labels) in enumerate(batches):
@@ -240,6 +275,8 @@ def cmd_train_distill(args, extra) -> int:
         m = st.train_step(imgs, labels)
         if st.step % cfg.train.checkpoint_every_steps == 0:
             sck.save(st.step, st.state_dict(), cfg.to_json())
+        if st.step % cfg.train.eval_every_steps == 0:
+            in_loop_eval(st.step)
     if st.step and sck.latest_step() != st.step:
         sck.save(st.step, st.state_dict(), cfg.to_json(), force=True)
     sck.close()
@@ -576,6 +613,8 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-bin", default="",
                    help=".bin verification set for in-training eval")
+    p.add_argument("--tensorboard", default="",
+                   help="also mirror metrics to TensorBoard event files")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-sr")
@@ -585,6 +624,11 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--teacher-ckpt", default="",
                    help="recognition ckpt for the SR identity loss")
+    p.add_argument("--perceptual", type=float, default=0.0,
+                   help="weight of the recognition-feature perceptual loss "
+                        "(teacher stage features; needs --teacher-ckpt)")
+    p.add_argument("--tensorboard", default="",
+                   help="also mirror metrics to TensorBoard event files")
     p.set_defaults(fn=cmd_train_sr)
 
     p = sub.add_parser("train-distill")
@@ -596,6 +640,16 @@ def main(argv=None) -> int:
     p.add_argument("--sr-ckpt", default="",
                    help="hallucinator ckpt: student consumes G(lr)")
     p.add_argument("--sr-scale", type=int, default=8)
+    p.add_argument("--sr-finetune", action="store_true",
+                   help="fine-tune G jointly with the student (needs "
+                        "--sr-ckpt); G state checkpoints with the student")
+    p.add_argument("--sr-lr", type=float, default=1e-5)
+    p.add_argument("--sr-pixel-weight", type=float, default=0.3,
+                   help="L1 pixel anchor weight for joint G fine-tuning")
+    p.add_argument("--eval-bin", default="",
+                   help=".bin verification set for in-training student eval")
+    p.add_argument("--tensorboard", default="",
+                   help="also mirror metrics to TensorBoard event files")
     p.set_defaults(fn=cmd_train_distill)
 
     p = sub.add_parser("eval-verification")

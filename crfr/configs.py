@@ -95,6 +95,7 @@ class LossCfg:
     sr_adv_weight: float = 1e-3
     sr_identity_weight: float = 1e-2
     sr_prior_weight: float = 1.0
+    sr_perceptual_weight: float = 0.0   # recognition-feature perceptual term
 
 
 @dataclass(frozen=True)

@@ -49,6 +49,22 @@ def identity_loss(emb_sr: jax.Array, emb_hr: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum(jnp.square(a - b), axis=-1))
 
 
+def perceptual_loss(feats_sr: list, feats_hr: list) -> jax.Array:
+    """Recognition-feature perceptual loss: mean L1 gap between the
+    backbone's stage-boundary feature maps of SR and HR (finest→coarsest,
+    equally weighted, each level normalized by its own HR magnitude so no
+    scale dominates). The TPU-native, download-free stand-in for VGG/LPIPS
+    features — the taps come from ``IRBackbone.features`` of the frozen
+    teacher, so the whole term stays inside the one jitted G-step."""
+    total = 0.0
+    for a, b in zip(feats_sr, feats_hr):
+        a = a.astype(jnp.float32)
+        b = jax.lax.stop_gradient(b.astype(jnp.float32))
+        scale = jnp.mean(jnp.abs(b)) + 1e-6
+        total = total + jnp.mean(jnp.abs(a - b)) / scale
+    return total / max(len(feats_sr), 1)
+
+
 def prior_loss(pred_priors: jax.Array, target_priors: jax.Array) -> jax.Array:
     """MSE between predicted priors and targets (landmark heatmaps / parsing
     maps from an external annotator, or a frozen prior net run on HR)."""

@@ -135,13 +135,16 @@ class IRBackbone(nnx.Module):
 
         blocks = []
         in_ch = 64
+        stage_ends = []
         for spec in _DEPTH_CONFIGS[depth]:
             for u in range(spec.units):
                 blocks.append(BottleneckIR(
                     in_ch, spec.channels, stride=2 if u == 0 else 1,
                     use_se=use_se, **kw))
                 in_ch = spec.channels
+            stage_ends.append(len(blocks))
         self.blocks = nnx.List(blocks)
+        self._stage_ends = tuple(stage_ends)   # block index after each stage
 
         feat = input_size // 16
         self.out_bn = nnx.BatchNorm(512, momentum=0.9, epsilon=1e-5, **kw)
@@ -167,6 +170,20 @@ class IRBackbone(nnx.Module):
         x = self.out_linear(x)
         x = self.out_feat_bn(x.astype(jnp.float32), use_running_average=not train)
         return x
+
+    def features(self, x, *, train: bool = False) -> list:
+        """Stage-boundary feature maps (one per spatial scale, finest →
+        coarsest) — the taps for recognition-feature perceptual losses
+        (the TPU-native, download-free stand-in for VGG features)."""
+        x = x.astype(self.dtype)
+        x = self.input_prelu(self.input_bn(self.input_conv(x),
+                                           use_running_average=not train))
+        feats = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x, train=train)
+            if i + 1 in self._stage_ends:
+                feats.append(x)
+        return feats
 
 
 def build_backbone(name: str = "ir_50", *, embedding_dim: int = 512,

@@ -57,11 +57,43 @@ def class_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, mesh.axis_names[1]))
 
 
+def host_put(x, sharding: NamedSharding):
+    """Place host data with ``sharding``, multi-process-safe.
+
+    Single-process (the common case, incl. single-chip TPU): plain
+    ``jax.device_put`` — identical behavior. Multi-process: every host
+    passes the same GLOBAL value and materializes only its addressable
+    shards via ``jax.make_array_from_callback``. Plain ``device_put`` of
+    host data onto a sharding that spans processes instead performs a
+    cross-host ``assert_equal`` — a per-call full-array allgather over
+    DCN: a bandwidth sink at scale and a deadlock when ranks reach the
+    collective >30 s apart (compile-time skew does that routinely).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and getattr(x, "_committed", False):
+        return jax.device_put(x, sharding)   # already placed: cheap reshard
+    if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys can't round-trip through numpy: place the uint32
+        # key data (replicated rng leaves only) and re-wrap
+        placed = host_put(np.asarray(jax.random.key_data(x)), sharding)
+        return jax.random.wrap_key_data(placed, impl=jax.random.key_impl(x))
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def host_put_tree(tree, sharding: NamedSharding):
+    """``host_put`` over every leaf of a pytree (params/opt-state trees)."""
+    return jax.tree_util.tree_map(lambda x: host_put(x, sharding), tree)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch (pytree of arrays) with batch-axis sharding."""
+    """Place a host batch (pytree of arrays) with batch-axis sharding."""
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return host_put(x, batch_sharding(mesh, x.ndim))
     return jax.tree_util.tree_map(put, batch)
 
 

@@ -18,7 +18,12 @@ separate network passes — §3.5 "second network forward per step").
 The teacher is any pure callable (normalized pixels → embeddings); use
 ``teacher_from_trainer``/``teacher_from_state`` to freeze a trained model.
 The SR plug comes from ``crfr.train.sr_loop.sr_apply_from_state`` /
-``load_sr_apply`` / ``SRTrainer.sr_apply``.
+``load_sr_apply`` / ``SRTrainer.sr_apply``. Alternatively pass
+``sr_module=(g_graphdef, g_state)`` to fine-tune the hallucinator JOINTLY
+with the student (recognition-driven G refinement): G's params get their
+own Adam at ``sr_lr``, gradients flow from CE+KD through the student into
+G, and ``sr_pixel_weight·‖G(lr)−hr‖₁`` anchors G to the reconstruction
+task so identity gradients sharpen rather than collapse it.
 
 The CE over the student head scales like the main Trainer's (dense /
 streaming flash-softmax / PartialFC class-sharded, cfg.loss.ce_impl) so
@@ -44,8 +49,8 @@ from crfr.models.irse import build_backbone
 from crfr.models.residual import ResidualBranch
 from crfr.ops.bicubic import degrade_matrix, resize_matrix
 from crfr.ops.normalize import normalize
-from crfr.parallel.mesh import (batch_sharding, class_sharding, make_mesh,
-                                pad_to_multiple, replicated)
+from crfr.parallel.mesh import (batch_sharding, class_sharding, host_put,
+                                make_mesh, pad_to_multiple, replicated)
 from crfr.train.loop import lr_schedule
 from crfr.utils.logging import MetricsWriter
 
@@ -95,7 +100,9 @@ class DistillTrainer:
                  mesh: Mesh | None = None, steps_per_epoch: int = 1000,
                  metrics: MetricsWriter | None = None,
                  kd_normalize: bool = False,
-                 sr_fn: Callable | None = None, sr_scale: int = 8):
+                 sr_fn: Callable | None = None, sr_scale: int = 8,
+                 sr_module: tuple | None = None, sr_lr: float = 1e-5,
+                 sr_pixel_weight: float = 0.3):
         """kd_normalize=True computes the KD distance on L2-normalized
         embeddings — scale-invariant, useful when the teacher's feature-BN
         statistics are not fully converged (raw-feature L2 follows the
@@ -105,7 +112,12 @@ class DistillTrainer:
         see sr_loop.sr_apply_from_state) switches the student input from
         bicubic-degraded to HALLUCINATED faces: hr → bicubic↓ by
         ``sr_scale`` → G(lr) → student. G runs frozen inside the same
-        jitted step."""
+        jitted step.
+
+        ``sr_module=(g_graphdef, g_state)`` (e.g. from a restored
+        ``SRTrainer``) instead makes G TRAINABLE: joint fine-tuning at
+        ``sr_lr`` with an L1 pixel anchor of weight ``sr_pixel_weight``
+        (docstring at module top). Mutually exclusive with ``sr_fn``."""
         assert cfg.loss.distill_weight > 0, "set loss.distill_weight > 0"
         self.kd_normalize = kd_normalize
         self.cfg = cfg
@@ -121,20 +133,21 @@ class DistillTrainer:
             s = "/".join(str(getattr(p, "name", getattr(p, "key", p)))
                          for p in path)
             if "head" in s and "weight" in s and cfg.mesh.model > 1:
-                return jax.device_put(x, cls)
-            return jax.device_put(x, rep)
+                return host_put(x, cls)
+            return host_put(x, rep)
 
         self.state = jax.tree_util.tree_map_with_path(place, state)
 
         self.schedule = lr_schedule(cfg, steps_per_epoch)
         self.tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
-        opt_state = jax.device_put(
-            self.tx.init(nnx.state(student, nnx.Param)), rep)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: host_put(x, rep),
+            self.tx.init(nnx.state(student, nnx.Param)))
         if cfg.mesh.model > 1:
             # momentum buffers of the sharded head W follow W's sharding
             wshape = student.head.weight.value.shape
             opt_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cls)
+                lambda x: host_put(x, cls)
                 if hasattr(x, "shape") and tuple(x.shape) == tuple(wshape)
                 else x, opt_state)
         self.opt_state = opt_state
@@ -163,10 +176,12 @@ class DistillTrainer:
 
         dc = cfg.data
         self.sr_scale = sr_scale
-        if sr_fn is not None:
+        assert sr_fn is None or sr_module is None, \
+            "sr_fn (frozen G) and sr_module (trainable G) are exclusive"
+        if sr_fn is not None or sr_module is not None:
             assert dc.image_size % sr_scale == 0, (dc.image_size, sr_scale)
             # one-way bicubic ↓ operator (f32); G provides the ↑ path
-            self._table = jax.device_put(jnp.asarray(resize_matrix(
+            self._table = host_put(jnp.asarray(resize_matrix(
                 dc.image_size, dc.image_size // sr_scale, dc.resize_mode)),
                 rep)
             self._n_lows = 0
@@ -175,9 +190,23 @@ class DistillTrainer:
                               min(dc.degrade_max, dc.image_size) + 1))
             table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
                               for l in lows])
-            self._table = jax.device_put(jnp.asarray(table), rep)
+            self._table = host_put(jnp.asarray(table), rep)
             self._n_lows = len(lows)
-        self._step_fn = self._build_step(teacher_fn, sr_fn)
+
+        if sr_module is not None:
+            self.g_graphdef, g_state = sr_module
+            self.g_state = jax.tree_util.tree_map(
+                lambda x: host_put(jnp.asarray(x), rep), g_state)
+            self.g_tx = optax.adam(sr_lr, b1=0.9, b2=0.99)
+            gen = nnx.merge(self.g_graphdef, self.g_state)
+            self.g_opt = jax.tree_util.tree_map(
+                lambda x: host_put(x, rep),
+                self.g_tx.init(nnx.state(gen, nnx.Param)))
+            self.sr_pixel_weight = sr_pixel_weight
+            self._step_fn = self._build_joint_step(teacher_fn)
+        else:
+            self.g_state = None
+            self._step_fn = self._build_step(teacher_fn, sr_fn)
 
     def _build_step(self, teacher_fn, sr_fn=None):
         cfg = self.cfg
@@ -244,13 +273,82 @@ class DistillTrainer:
 
         return step_fn
 
+    def _build_joint_step(self, teacher_fn):
+        """Student + trainable-G step: grads of CE + KD + pixel-anchor flow
+        into BOTH modules; separate optimizers (SGD student / Adam G)."""
+        cfg = self.cfg
+        graphdef, g_graphdef = self.graphdef, self.g_graphdef
+        table = self._table
+        lam = cfg.loss.distill_weight
+        kd_norm = self.kd_normalize
+        tx, g_tx = self.tx, self.g_tx
+        w_px = self.sr_pixel_weight
+        sharded_ce = self._sharded_ce
+        ce_impl = self._ce_impl
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def step_fn(state, opt_state, g_state, g_opt, step, images, labels):
+            del step
+            student = nnx.merge(graphdef, state)
+            gen = nnx.merge(g_graphdef, g_state)
+            x_hr = normalize(images.astype(jnp.float32))
+            t_emb = teacher_fn(x_hr)
+            lr = jnp.einsum("oi,bijc,pj->bopc", table, x_hr, table,
+                            preferred_element_type=jnp.float32)
+
+            def loss_fn(student, gen):
+                sr, _, _ = gen(lr, train=True)
+                s = student.backbone(sr, train=True)
+                r = student.residual(s, train=True)
+                if sharded_ce is not None:
+                    ce = sharded_ce(s, labels, student.head.weight.value)
+                elif ce_impl == "streaming":
+                    from crfr.losses.arcface import streaming_margin_ce
+                    ce = streaming_margin_ce(
+                        s, student.head.weight.value, labels,
+                        margin_type=cfg.loss.head, s=cfg.loss.scale,
+                        m=cfg.loss.margin, easy_margin=cfg.loss.easy_margin,
+                        block=cfg.loss.ce_block,
+                        num_valid=student.head.num_valid)
+                else:
+                    ce = student.head.loss(s, labels)
+                kd = residual_kd_loss(s, r, t_emb, weight=lam,
+                                      normalize=kd_norm)
+                from crfr.losses.gan import pixel_loss
+                px = w_px * pixel_loss(sr, x_hr)
+                return ce + kd + px, (ce, kd, px)
+
+            (loss, (ce, kd, px)), (grads, g_grads) = nnx.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(student, gen)
+
+            params = nnx.state(student, nnx.Param)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            nnx.update(student,
+                       jax.tree_util.tree_map(jnp.add, params, updates))
+            _, state = nnx.split(student)
+
+            g_params = nnx.state(gen, nnx.Param)
+            g_updates, g_opt = g_tx.update(g_grads, g_opt, g_params)
+            nnx.update(gen,
+                       jax.tree_util.tree_map(jnp.add, g_params, g_updates))
+            _, g_state = nnx.split(gen)
+            return state, opt_state, g_state, g_opt, {
+                "loss": loss, "ce": ce, "kd": kd, "sr_px": px}
+
+        return step_fn
+
     def train_step(self, images, labels) -> dict[str, float]:
         bs = batch_sharding(self.mesh, 4)
         ls = batch_sharding(self.mesh, 1)
-        images = jax.device_put(jnp.asarray(images), bs)
-        labels = jax.device_put(jnp.asarray(labels, jnp.int32), ls)
-        self.state, self.opt_state, m = self._step_fn(
-            self.state, self.opt_state, self.step, images, labels)
+        images = host_put(images, bs)
+        labels = host_put(np.asarray(labels, np.int32), ls)
+        if self.g_state is not None:
+            (self.state, self.opt_state, self.g_state, self.g_opt,
+             m) = self._step_fn(self.state, self.opt_state, self.g_state,
+                                self.g_opt, self.step, images, labels)
+        else:
+            self.state, self.opt_state, m = self._step_fn(
+                self.state, self.opt_state, self.step, images, labels)
         self.step += 1
         if self.step % self.cfg.train.log_every == 0:
             self.metrics.write(self.step,
@@ -259,13 +357,29 @@ class DistillTrainer:
 
     # ------------------------------------------------------------------
     def state_dict(self) -> dict:
-        return {"state": self.state, "opt_state": self.opt_state,
-                "step": jnp.asarray(self.step, jnp.int32)}
+        sd = {"state": self.state, "opt_state": self.opt_state,
+              "step": jnp.asarray(self.step, jnp.int32)}
+        if self.g_state is not None:
+            sd["g_state"] = self.g_state
+            sd["g_opt"] = self.g_opt
+        return sd
 
     def load_state_dict(self, sd: dict) -> None:
         self.state = sd["state"]
         self.opt_state = sd["opt_state"]
+        if "g_state" in sd:
+            self.g_state = sd["g_state"]
+            self.g_opt = sd["g_opt"]
         self.step = int(jax.device_get(sd["step"]))
+
+    def sr_apply(self, trainable: bool = False) -> Callable:
+        """The (fine-tuned) hallucinator as a pure plug (normalized LR →
+        normalized SR) — feed it to make_extract_fn/eval so probes are
+        reconstructed by the SAME G the student was trained against."""
+        assert self.g_state is not None, "no trainable G (pass sr_module=)"
+        from crfr.train.sr_loop import sr_apply_from_state
+        return sr_apply_from_state(self.g_graphdef, self.g_state,
+                                   trainable=trainable)
 
     # ------------------------------------------------------------------
     def student_embed_fn(self, with_residual: bool = False):

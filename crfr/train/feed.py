@@ -18,7 +18,7 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-from crfr.parallel.mesh import batch_sharding
+from crfr.parallel.mesh import batch_sharding, host_put
 
 
 def device_feed(batches: Iterable, mesh, depth: int = 2) -> Iterator:
@@ -33,9 +33,9 @@ def device_feed(batches: Iterable, mesh, depth: int = 2) -> Iterator:
 
     def put(b):
         images, labels = b
-        di = jax.device_put(np.asarray(images), bs)
+        di = host_put(np.asarray(images), bs)
         dl = (None if labels is None
-              else jax.device_put(np.asarray(labels, np.int32), ls))
+              else host_put(np.asarray(labels, np.int32), ls))
         return di, dl
 
     it = iter(batches)
@@ -75,9 +75,9 @@ class ResumableDeviceFeed:
 
     def _put(self, b):
         images, labels = b
-        return (jax.device_put(np.asarray(images), self._bs),
+        return (host_put(np.asarray(images), self._bs),
                 None if labels is None
-                else jax.device_put(np.asarray(labels, np.int32), self._ls))
+                else host_put(np.asarray(labels, np.int32), self._ls))
 
     def _prefetch(self):
         try:

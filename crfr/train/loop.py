@@ -42,8 +42,8 @@ from crfr.losses.distill import residual_kd_loss
 from crfr.models.irse import build_backbone
 from crfr.ops.bicubic import degrade_matrix
 from crfr.ops.normalize import normalize
-from crfr.parallel.mesh import (batch_sharding, class_sharding, make_mesh,
-                                pad_to_multiple, replicated)
+from crfr.parallel.mesh import (batch_sharding, class_sharding, host_put,
+                                make_mesh, pad_to_multiple, replicated)
 from crfr.utils.logging import MetricsWriter
 
 
@@ -143,28 +143,31 @@ class Trainer:
             s = "/".join(str(getattr(p, "name", getattr(p, "key", p)))
                          for p in path)
             if "head" in s and "weight" in s and self.cfg.mesh.model > 1:
-                return jax.device_put(x, cls)
-            return jax.device_put(x, rep)
+                return host_put(x, cls)
+            return host_put(x, rep)
 
         params = jax.tree_util.tree_map_with_path(place, params)
         opt_state = self.tx.init(params)
-        opt_state = jax.device_put(opt_state, rep)  # scalar counts + momentum
+        opt_state = jax.tree_util.tree_map(
+            lambda x: host_put(x, rep), opt_state)  # counts + momentum
         # Momentum buffers for the sharded head W must follow W's sharding;
         # re-place any leaf whose shape matches a sharded param.
         if self.cfg.mesh.model > 1:
             wshape = model.head.weight.value.shape
             opt_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cls)
+                lambda x: host_put(x, cls)
                 if hasattr(x, "shape") and tuple(x.shape) == tuple(wshape)
                 else x, opt_state)
 
         self.graphdef = graphdef
         self.state = {
             "params": params,
-            "batch_stats": jax.device_put(batch_stats, rep),
-            "rng_state": jax.device_put(rng_state, rep),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda x: host_put(x, rep), batch_stats),
+            "rng_state": jax.tree_util.tree_map(
+                lambda x: host_put(x, rep), rng_state),
             "opt_state": opt_state,
-            "step": jax.device_put(jnp.zeros((), jnp.int32), rep),
+            "step": host_put(jnp.zeros((), jnp.int32), rep),
         }
 
         # CE implementation selection (cfg.loss.ce_impl):
@@ -197,7 +200,7 @@ class Trainer:
         self._degrade_lows = lows
         table = np.stack([degrade_matrix(dc.image_size, l, dc.resize_mode)
                           for l in lows]) if lows else None
-        self._degrade_table = (jax.device_put(jnp.asarray(table), rep)
+        self._degrade_table = (host_put(jnp.asarray(table), rep)
                                if table is not None else None)
 
         self._teacher_fn: Callable | None = None
@@ -306,8 +309,8 @@ class Trainer:
         """One step. images (B, S, S, 3) uint8/f32 raw pixels, labels (B,)."""
         bs = batch_sharding(self.mesh, 4)
         ls = batch_sharding(self.mesh, 1)
-        images = jax.device_put(jnp.asarray(images), bs)
-        labels = jax.device_put(jnp.asarray(labels, jnp.int32), ls)
+        images = host_put(images, bs)
+        labels = host_put(np.asarray(labels, np.int32), ls)
         self.state, m = self._step_fn(self.state, images, labels)
         self.host_step += 1
         return m

@@ -33,7 +33,8 @@ from crfr.losses import gan as gl
 from crfr.models.sr import Discriminator, Hallucinator
 from crfr.ops.bicubic import resize_matrix
 from crfr.ops.normalize import normalize
-from crfr.parallel.mesh import batch_sharding, make_mesh, replicated
+from crfr.parallel.mesh import (batch_sharding, host_put, host_put_tree,
+                                make_mesh, replicated)
 from crfr.utils.logging import MetricsWriter
 
 
@@ -42,6 +43,7 @@ class SRTrainer:
                  mesh: Mesh | None = None, lr_g: float = 1e-4,
                  lr_d: float = 1e-4, teacher_fn: Callable | None = None,
                  prior_target_fn: Callable | None = None,
+                 perceptual_fn: Callable | None = None,
                  metrics: MetricsWriter | None = None,
                  adv_mode: str = "lsgan", ema_decay: float = 0.999):
         self.cfg = cfg
@@ -62,29 +64,33 @@ class SRTrainer:
         self.d_tx = optax.adam(lr_d, b1=0.9, b2=0.99)
 
         rep = replicated(self.mesh)
-        self.g_state = jax.device_put(g_state, rep)
-        self.d_state = jax.device_put(d_state, rep)
+        self.g_state = host_put_tree(g_state, rep)
+        self.d_state = host_put_tree(d_state, rep)
         # EMA shadow of the full generator state (params + BN stats) — the
         # weights served at inference/eval time (GAN training is noisy; the
         # EMA trajectory is the standard stabilizer). ema_decay=0 disables.
         self.g_ema = (jax.tree_util.tree_map(jnp.copy, self.g_state)
                       if ema_decay > 0 else None)
-        self.g_opt = jax.device_put(self.g_tx.init(
+        self.g_opt = host_put_tree(self.g_tx.init(
             nnx.state(gen, nnx.Param)), rep)
-        self.d_opt = jax.device_put(self.d_tx.init(
+        self.d_opt = host_put_tree(self.d_tx.init(
             nnx.state(disc, nnx.Param)), rep)
         self.step = 0
 
         # Downsample operator HR→LR (f32 'pil' semantics, as in eval).
-        self._down = jax.device_put(
+        self._down = host_put(
             jnp.asarray(resize_matrix(size, self.lr_size,
                                       cfg.data.resize_mode)), rep)
 
         self.teacher_fn = teacher_fn
         self.prior_target_fn = prior_target_fn
+        # perceptual_fn: normalized pixels -> list of feature maps (e.g. the
+        # frozen teacher's IRBackbone.features) for the perceptual term
+        self.perceptual_fn = perceptual_fn
         lc = cfg.loss
         self.weights = dict(px=lc.sr_pixel_weight, adv=lc.sr_adv_weight,
-                            id=lc.sr_identity_weight, pr=lc.sr_prior_weight)
+                            id=lc.sr_identity_weight, pr=lc.sr_prior_weight,
+                            pc=lc.sr_perceptual_weight)
         self.adv_mode = adv_mode
         self._g_step, self._d_step = self._build_steps()
         decay = ema_decay
@@ -113,6 +119,7 @@ class SRTrainer:
         w = self.weights
         teacher_fn = self.teacher_fn
         prior_target_fn = self.prior_target_fn
+        perceptual_fn = self.perceptual_fn
         adv_mode = self.adv_mode
         g_tx, d_tx = self.g_tx, self.d_tx
 
@@ -140,6 +147,9 @@ class SRTrainer:
                 if prior_target_fn is not None and w["pr"] > 0:
                     loss = loss + w["pr"] * gl.prior_loss(
                         priors, prior_target_fn(hr))
+                if perceptual_fn is not None and w["pc"] > 0:
+                    loss = loss + w["pc"] * gl.perceptual_loss(
+                        perceptual_fn(sr), perceptual_fn(hr))
                 return loss, sr
 
             (loss, sr), grads = nnx.value_and_grad(loss_fn, has_aux=True)(gen)
@@ -170,7 +180,7 @@ class SRTrainer:
     def train_step(self, hr_images) -> dict[str, float]:
         """hr_images: raw pixels (B,S,S,3) uint8/f32; one G step + one D step."""
         bs = batch_sharding(self.mesh, 4)
-        hr = jax.device_put(normalize(jnp.asarray(hr_images, jnp.float32)), bs)
+        hr = host_put(normalize(jnp.asarray(hr_images, jnp.float32)), bs)
         self.g_state, self.g_opt, g_loss, sr = self._g_step(
             self.g_state, self.g_opt, self.d_state, hr)
         if self.g_ema is not None:
@@ -266,6 +276,23 @@ class SRTrainer:
 # prior-aided face hallucination FOR cross-resolution recognition; SURVEY.md
 # §3.2 → §3.5 pipeline join).
 # ---------------------------------------------------------------------------
+
+
+def perceptual_from_trainer(trainer) -> Callable:
+    """Freeze a recognition Trainer's backbone into a pure stage-features
+    callable (normalized pixels → list of feature maps) for
+    ``SRTrainer(perceptual_fn=…)``. Backbone must expose ``features``
+    (IRBackbone does)."""
+    graphdef = trainer.graphdef
+    states = (trainer.state["params"], trainer.state["batch_stats"],
+              trainer.state["rng_state"])
+
+    def f(x):
+        model = nnx.merge(graphdef, *states)
+        bb = getattr(model, "backbone", model)
+        return [jax.lax.stop_gradient(t) for t in bb.features(x, train=False)]
+
+    return f
 
 
 def sr_apply_from_state(g_graphdef, g_state, trainable: bool = False

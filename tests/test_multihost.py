@@ -1,0 +1,86 @@
+"""Real two-process multi-host exercise of crfr.parallel.multihost — the
+SURVEY.md §4 "distributed-without-a-cluster" harness taken one level up:
+TWO OS processes, 4 fake CPU devices each, gloo collectives, one global
+(data=4, model=2) mesh. The DP gradient psum and the PartialFC class-psum
+both cross the process boundary, exactly as they would cross DCN on a pod.
+
+Asserts: env-driven init activates; every process computes the identical
+per-step loss; the 3-step loss trajectory matches a single-process
+8-device control to float tolerance; per-host dataset sharding partitions
+the index space.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mh_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run(env_extra: dict, n_local: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    env.update(env_extra)
+    return subprocess.Popen([sys.executable, WORKER], cwd=REPO, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+
+
+def _parse(out: str) -> dict:
+    d = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if parts and parts[0] in ("ACTIVE", "LOSSES", "SHARD"):
+            d[parts[0]] = parts[1:]
+    return d
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        _run({"CRFR_COORDINATOR": coord, "CRFR_NUM_PROCESSES": "2",
+              "CRFR_PROCESS_ID": str(i)}, n_local=4)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        outs.append(_parse(out))
+
+    for i, d in enumerate(outs):
+        assert d["ACTIVE"] == ["True", "2", "8", "4"], (i, d)
+    # both hosts run one SPMD program → identical replicated loss
+    assert outs[0]["LOSSES"] == outs[1]["LOSSES"], outs
+    # contiguous partition of the dataset index space
+    assert outs[0]["SHARD"] == ["0", "5"], outs[0]
+    assert outs[1]["SHARD"] == ["5", "10"], outs[1]
+
+    # single-process 8-device control: same mesh shape, no distributed env
+    ctl = _run({}, n_local=8)
+    out, err = ctl.communicate(timeout=900)
+    assert ctl.returncode == 0, f"control failed:\n{out}\n{err[-3000:]}"
+    c = _parse(out)
+    assert c["ACTIVE"] == ["False", "1", "8", "8"], c
+    assert c["SHARD"] == ["0", "10"], c
+    mh = np.array([float(x) for x in outs[0]["LOSSES"]])
+    sp = np.array([float(x) for x in c["LOSSES"]])
+    # different collective implementations (gloo vs intra-process) may
+    # reorder reductions — float tolerance, not bitwise
+    np.testing.assert_allclose(mh, sp, atol=5e-4, rtol=1e-4)
+    # and training actually moved: loss changed over the 3 steps
+    assert mh.std() > 0

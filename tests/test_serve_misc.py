@@ -137,3 +137,40 @@ def test_metrics_writer_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(p)]
     assert lines[0]["loss"] == 2.5 and lines[0]["tag"] == "x"
     assert lines[1]["step"] == 2
+
+
+def test_metrics_tensorboard_sink(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from crfr.utils.logging import MetricsWriter
+
+    tb = str(tmp_path / "tb")
+    with MetricsWriter(str(tmp_path / "m.jsonl"), stdout=False,
+                       tensorboard_dir=tb) as mw:
+        mw.write(1, loss=2.5, lr=0.1)
+        mw.write(2, loss=2.0, lr=0.1)
+    files = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert files, os.listdir(tb)
+    # scalars round-trip through the event file
+    total = 0
+    from tensorflow.python.summary.summary_iterator import summary_iterator
+    for ev in summary_iterator(os.path.join(tb, files[0])):
+        for v in ev.summary.value:
+            if v.tag in ("loss", "lr"):
+                total += 1
+    assert total >= 4, total
+
+
+def test_host_put_matches_device_put_single_process():
+    """host_put is bit-identical to device_put in single-process mode (the
+    multi-process branch is exercised for real in tests/test_multihost.py)."""
+    import jax
+    from crfr.parallel.mesh import batch_sharding, host_put, make_mesh, replicated
+
+    mesh = make_mesh()
+    x = np.arange(64, dtype=np.float32).reshape(16, 4)
+    a = host_put(x, batch_sharding(mesh, 2))
+    b = jax.device_put(x, batch_sharding(mesh, 2))
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    r = host_put(np.float32(3.0), replicated(mesh))
+    assert float(r) == 3.0

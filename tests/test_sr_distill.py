@@ -102,3 +102,78 @@ def test_distill_student_tracks_teacher(rng):
     d_plain = float(jnp.mean(jnp.sum((s - t) ** 2, -1)))
     d_res = float(jnp.mean(jnp.sum((sr_ - t) ** 2, -1)))
     assert d_res < d_plain, (d_res, d_plain)
+
+
+def test_joint_g_finetune_distill(rng):
+    """sr_module mode: G trains JOINTLY with the student — its params move,
+    the pixel anchor improves G's reconstruction, total loss decreases."""
+    from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+    from crfr.train.loop import Trainer
+    from crfr.train.sr_loop import SRTrainer
+
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    teacher_tr = Trainer(_cfg(size=32), steps_per_epoch=100)
+    for imgs, labels in data.batches(16, 15, seed=1):
+        teacher_tr.train_step(imgs, labels)
+
+    sr_tr = SRTrainer(_cfg(size=32), scale=4, n_priors=4)
+    g0 = jax.tree_util.tree_map(jnp.copy, sr_tr.g_state)
+
+    st = DistillTrainer(_cfg(size=32, distill=1.0),
+                        teacher_from_trainer(teacher_tr),
+                        steps_per_epoch=100, kd_normalize=True,
+                        sr_module=(sr_tr.g_graphdef, sr_tr.g_state),
+                        sr_scale=4, sr_lr=1e-4, sr_pixel_weight=10.0)
+    losses, pxs = [], []
+    for imgs, labels in data.batches(16, 25, seed=2):
+        m = st.train_step(imgs, labels)
+        losses.append(float(jax.device_get(m["loss"])))
+        pxs.append(float(jax.device_get(m["sr_px"])))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # G starts bicubic-exact (px ≈ 0), so reconstruction cannot improve —
+    # the anchor's job is to keep G NEAR-reconstructive while the (noisy,
+    # young-student) recognition gradients reshape it: weighted px 10·L2
+    # staying < 1.0 means the unweighted pixel loss stays within ~5× of
+    # bicubic quality after 25 joint steps.
+    assert pxs[-1] < 1.0, pxs
+
+    # G actually moved under the joint gradient
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, st.g_state)
+    assert max(jax.tree_util.tree_leaves(moved)) > 1e-6
+
+    # round-trip: the fine-tuned G is checkpointable and pluggable
+    sd = st.state_dict()
+    assert "g_state" in sd
+    f = st.sr_apply()
+    lr = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    assert f(lr).shape == (2, 32, 32, 3)
+
+
+def test_perceptual_features_and_loss(rng):
+    """IRBackbone.features taps one map per stage; perceptual_loss is zero
+    on identical features and positive otherwise."""
+    from crfr.models.irse import IRBackbone
+
+    bb = IRBackbone(depth="18", input_size=32, dropout=0.0,
+                    dtype=jnp.float32, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    feats = bb.features(x)
+    assert len(feats) == 4
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
+    assert float(gl.perceptual_loss(feats, feats)) < 1e-9
+    feats2 = bb.features(x + 0.5)
+    assert float(gl.perceptual_loss(feats2, feats)) > 0
+
+
+def test_sr_perceptual_smoke():
+    """SRTrainer with a perceptual term runs and stays finite."""
+    from crfr.train.sr_loop import SRTrainer
+
+    cfg = _cfg(size=32).override(**{"loss.sr_perceptual_weight": 0.1})
+    tr = SRTrainer(cfg, scale=4, n_priors=4, perceptual_fn=lambda x: [x])
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    imgs, _ = data.sample(np.random.default_rng(0), 8)
+    m = tr.train_step(imgs)
+    assert np.isfinite(float(jax.device_get(m["g_loss"])))
