@@ -22,6 +22,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+# persistent cache is loadable here because the parent test pins
+# --xla_cpu_max_isa (see tests/conftest.py for why); warm ranks compile
+# in lockstep, far inside gloo's 30 s key-exchange timeout
+jax.config.update("jax_compilation_cache_dir", "/tmp/crfr_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 from crfr.parallel.multihost import maybe_initialize_distributed, process_shard

@@ -20,8 +20,16 @@ _USE_TPU = bool(os.environ.get("CRFR_TEST_TPU"))
 if not _USE_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # Cap the CPU ISA: without this, XLA:CPU AOT cache entries embed
+    # machine-detected pseudo-features (prefer-no-scatter/gather) that fail
+    # the loader's host check, so the persistent cache NEVER loads and
+    # every run recompiles everything (verified: 6 loader errors + full
+    # recompile without the flag; clean cache hits with it). AVX2 is plenty
+    # for test-sized programs; compile time dominates them anyway.
+    if "xla_cpu_max_isa" not in flags:
+        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

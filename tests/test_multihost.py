@@ -31,7 +31,11 @@ def _free_port() -> int:
 def _run(env_extra: dict, n_local: int) -> subprocess.Popen:
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    # max_isa: keeps the persistent compile cache loadable AND equalizes
+    # compile time across ranks (gloo key-exchange has a 30 s timeout;
+    # rank compile skew is the main way to blow it)
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_local}"
+                        " --xla_cpu_max_isa=AVX2")
     env.update(env_extra)
     return subprocess.Popen([sys.executable, WORKER], cwd=REPO, env=env,
                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
