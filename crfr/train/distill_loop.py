@@ -82,6 +82,7 @@ class StudentModel(nnx.Module):
                                        embedding_dim=mc.embedding_dim,
                                        dropout=mc.dropout,
                                        input_size=mc.input_size,
+                                       remat=getattr(mc, "remat", False),
                                        rngs=rngs, dtype=dtype)
         self.residual = ResidualBranch(mc.embedding_dim, rngs=rngs)
         # Class axis padded to a mesh-divisible size; ghost classes masked

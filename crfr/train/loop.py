@@ -93,7 +93,8 @@ class FaceTrainModel(nnx.Module):
         dtype = jnp.bfloat16 if mc.compute_dtype == "bfloat16" else jnp.float32
         self.backbone = build_backbone(
             mc.backbone, embedding_dim=mc.embedding_dim, dropout=mc.dropout,
-            input_size=mc.input_size, rngs=rngs, dtype=dtype)
+            input_size=mc.input_size, remat=getattr(mc, "remat", False),
+            rngs=rngs, dtype=dtype)
         # Pad classes so the class axis divides the model mesh axis; padding
         # classes are masked out of every CE variant via num_valid.
         c_pad = pad_to_multiple(cfg.data.num_classes, cfg.mesh.model)

@@ -171,3 +171,26 @@ def test_fit_eval_hook(trained):
 def test_mesh_default_uses_all_devices():
     mesh = make_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_remat_step_matches_plain():
+    """model.remat=True (jax.checkpoint on each residual block) must be a
+    pure memory/FLOPs tradeoff: one train step produces the same loss and
+    the same updated params as the plain backbone, to float tolerance."""
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    imgs, labels = data.sample(np.random.default_rng(3), 16)
+
+    results = []
+    for remat in (False, True):
+        cfg = _tiny_cfg()
+        cfg = cfg.override(**{"model.remat": remat})
+        tr = Trainer(cfg, steps_per_epoch=100)
+        m = tr.train_step(imgs, labels)
+        loss = float(jax.device_get(m["loss"]))
+        p = jax.tree_util.tree_leaves(tr.state["params"])
+        results.append((loss, [np.asarray(x) for x in p]))
+
+    (l0, p0), (l1, p1) = results
+    assert abs(l0 - l1) < 1e-5 * max(1.0, abs(l0)), (l0, l1)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
