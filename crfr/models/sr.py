@@ -201,9 +201,11 @@ class Hallucinator(nnx.Module):
     the prior-consistency loss)."""
 
     def __init__(self, scale: int = 8, n_priors: int = 16, *, rngs: nnx.Rngs,
-                 dtype=jnp.float32, resize_mode: str = "pil"):
+                 dtype=jnp.float32, resize_mode: str = "pil",
+                 bicubic_skip: bool = True):
         self.coarse = CoarseUpsampler(scale, rngs=rngs, dtype=dtype,
-                                      resize_mode=resize_mode)
+                                      resize_mode=resize_mode,
+                                      bicubic_skip=bicubic_skip)
         self.prior = PriorEstimator(n_priors, rngs=rngs, dtype=dtype)
         self.gen = Generator(n_priors, rngs=rngs, dtype=dtype)
 

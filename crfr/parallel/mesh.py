@@ -84,6 +84,22 @@ def host_put(x, sharding: NamedSharding):
                                         lambda idx: x[idx])
 
 
+def host_put_local(x, sharding: NamedSharding):
+    """Place a PER-PROCESS batch shard: the global array is the concatenation
+    of every process's local ``x`` along the sharded (batch) axis.
+
+    ``host_put`` declares the local value as the GLOBAL array (every host
+    must pass identical data — replicated-input convention). This variant is
+    the data-parallel input convention instead: each host's input pipeline
+    draws DISTINCT samples, passes only its own (batch/P)-row slab, and the
+    global batch is the concatenation — no cross-host data motion at all.
+    Single-process: identical to host_put.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def host_put_tree(tree, sharding: NamedSharding):
     """``host_put`` over every leaf of a pytree (params/opt-state trees)."""
     return jax.tree_util.tree_map(lambda x: host_put(x, sharding), tree)

@@ -55,6 +55,22 @@ class Checkpointer:
             step, args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)))
         return out["state"]
 
+    def state_keys(self, step: int | None = None) -> list[str] | None:
+        """Top-level keys of the stored state tree (None if unreadable).
+        Lets callers do format-tolerant partial restores: build the restore
+        template from the INTERSECTION with their live state_dict so adding
+        new optional keys (e.g. SRTrainer g_ema/meta) never breaks loading
+        older checkpoints."""
+        if step is None:
+            step = self.mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            md = self.mgr.item_metadata(step)
+            return list(md.state.keys())
+        except Exception:
+            return None
+
     def restore_config(self, step: int | None = None) -> dict | None:
         if step is None:
             step = self.mgr.latest_step()

@@ -18,24 +18,29 @@ from typing import Iterable, Iterator
 import jax
 import numpy as np
 
-from crfr.parallel.mesh import batch_sharding, host_put
+from crfr.parallel.mesh import batch_sharding, host_put, host_put_local
 
 
-def device_feed(batches: Iterable, mesh, depth: int = 2) -> Iterator:
+def device_feed(batches: Iterable, mesh, depth: int = 2,
+                local: bool = False) -> Iterator:
     """(images, labels) host batches → same tuples as device arrays, with
     up to ``depth`` H2D transfers running ahead of the consumer.
 
     labels may be None (SR training). Already-on-device inputs pass
-    through unchanged (device_put is a no-op then).
+    through unchanged (device_put is a no-op then). ``local=True`` switches
+    to the multi-host data-parallel input convention (host_put_local): each
+    process feeds its OWN (batch/P)-row slab and the global batch is the
+    concatenation across processes.
     """
     bs = batch_sharding(mesh, 4)
     ls = batch_sharding(mesh, 1)
+    putter = host_put_local if local else host_put
 
     def put(b):
         images, labels = b
-        di = host_put(np.asarray(images), bs)
+        di = putter(np.asarray(images), bs)
         dl = (None if labels is None
-              else host_put(np.asarray(labels, np.int32), ls))
+              else putter(np.asarray(labels, np.int32), ls))
         return di, dl
 
     it = iter(batches)
@@ -62,22 +67,23 @@ class ResumableDeviceFeed:
     ahead), so checkpointing `feed.state` instead of `batches.get_state()`
     resumes without skipping the in-flight prefetched batches."""
 
-    def __init__(self, batches, mesh, depth: int = 2):
+    def __init__(self, batches, mesh, depth: int = 2, local: bool = False):
         self._batches = batches
         self._it = iter(batches)
         self._ex = ThreadPoolExecutor(1)
         self._q: deque = deque()
         self._bs = batch_sharding(mesh, 4)
         self._ls = batch_sharding(mesh, 1)
+        self._putter = host_put_local if local else host_put
         self.state = batches.get_state()
         for _ in range(max(depth, 1)):
             self._prefetch()
 
     def _put(self, b):
         images, labels = b
-        return (host_put(np.asarray(images), self._bs),
+        return (self._putter(np.asarray(images), self._bs),
                 None if labels is None
-                else host_put(np.asarray(labels, np.int32), self._ls))
+                else self._putter(np.asarray(labels, np.int32), self._ls))
 
     def _prefetch(self):
         try:

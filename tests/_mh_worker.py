@@ -60,3 +60,49 @@ for imgs, labels in data.batches(16, 3, seed=1):
     losses.append(float(jax.device_get(m["loss"])))
 print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
 print("SHARD", *process_shard(10), flush=True)
+
+# ---------------------------------------------------------------------------
+# Local-slab DP input convention (host_put_local via device_feed(local=True)):
+# each process feeds ONLY its (batch/P)-row slab of a distinct global batch —
+# the ADVICE-r2 cmd_train convention. The single-process control feeds the
+# full global batch; trajectories must match to float tolerance.
+# ---------------------------------------------------------------------------
+import numpy as np
+
+from crfr.train.feed import device_feed
+
+
+def global_batch(i):
+    r = np.random.default_rng(50 + i)
+    return (r.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8),
+            r.integers(0, 6, (16,)).astype(np.int32))
+
+
+if active:
+    p, B = jax.process_index(), 16 // jax.process_count()
+    local_batches = [(g[0][p * B:(p + 1) * B], g[1][p * B:(p + 1) * B])
+                     for g in (global_batch(i) for i in range(3))]
+else:
+    local_batches = [global_batch(i) for i in range(3)]
+tr2 = Trainer(cfg, steps_per_epoch=10)
+losses_local = []
+for di, dl in device_feed(iter(local_batches), tr2.mesh, local=active):
+    m = tr2.train_step(di, dl)
+    losses_local.append(float(jax.device_get(m["loss"])))
+print("LOSSES_LOCAL", " ".join(f"{l:.6f}" for l in losses_local), flush=True)
+
+# ---------------------------------------------------------------------------
+# One distill step across the process boundary (VERDICT r2 next #4): teacher
+# forward + student + sharded CE + KD in one program over the same mesh.
+# ---------------------------------------------------------------------------
+from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+
+dcfg = cfg.override(**{"loss.distill_weight": 1.0})
+st = DistillTrainer(dcfg, teacher_from_trainer(tr), steps_per_epoch=10,
+                    kd_normalize=True)
+losses_distill = []
+for imgs, labels in data.batches(16, 2, seed=3):
+    m = st.train_step(imgs, labels)
+    losses_distill.append(float(jax.device_get(m["loss"])))
+print("LOSSES_DISTILL", " ".join(f"{l:.6f}" for l in losses_distill),
+      flush=True)

@@ -46,7 +46,8 @@ def _parse(out: str) -> dict:
     d = {}
     for line in out.splitlines():
         parts = line.split()
-        if parts and parts[0] in ("ACTIVE", "LOSSES", "SHARD"):
+        if parts and parts[0] in ("ACTIVE", "LOSSES", "SHARD",
+                                  "LOSSES_LOCAL", "LOSSES_DISTILL"):
             d[parts[0]] = parts[1:]
     return d
 
@@ -88,3 +89,17 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(mh, sp, atol=5e-4, rtol=1e-4)
     # and training actually moved: loss changed over the 3 steps
     assert mh.std() > 0
+
+    # local-slab input convention: per-host (batch/P) slabs via
+    # host_put_local assemble the SAME global batch the control feeds whole
+    assert outs[0]["LOSSES_LOCAL"] == outs[1]["LOSSES_LOCAL"], outs
+    mh_l = np.array([float(x) for x in outs[0]["LOSSES_LOCAL"]])
+    sp_l = np.array([float(x) for x in c["LOSSES_LOCAL"]])
+    np.testing.assert_allclose(mh_l, sp_l, atol=5e-4, rtol=1e-4)
+
+    # distill step (teacher + student + sharded CE + KD) crosses the
+    # process boundary and matches the single-process control
+    assert outs[0]["LOSSES_DISTILL"] == outs[1]["LOSSES_DISTILL"], outs
+    mh_d = np.array([float(x) for x in outs[0]["LOSSES_DISTILL"]])
+    sp_d = np.array([float(x) for x in c["LOSSES_DISTILL"]])
+    np.testing.assert_allclose(mh_d, sp_d, atol=5e-4, rtol=1e-4)

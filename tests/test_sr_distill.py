@@ -177,3 +177,34 @@ def test_sr_perceptual_smoke():
     imgs, _ = data.sample(np.random.default_rng(0), 8)
     m = tr.train_step(imgs)
     assert np.isfinite(float(jax.device_get(m["g_loss"])))
+
+
+def test_perceptual_gradient_reaches_generator(rng):
+    """The perceptual term must produce a NONZERO generator gradient through
+    the real teacher-feature taps (ADVICE r2: a stop_gradient in
+    perceptual_from_trainer silently zeroed it)."""
+    import optax
+    from crfr.train.loop import Trainer
+    from crfr.train.sr_loop import SRTrainer, perceptual_from_trainer
+
+    cfg = _cfg(size=32)
+    teacher_tr = Trainer(cfg, steps_per_epoch=100)   # init weights suffice
+    pf = perceptual_from_trainer(teacher_tr)
+    tr = SRTrainer(cfg, scale=4, n_priors=4, perceptual_fn=pf)
+
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    imgs, _ = data.sample(np.random.default_rng(0), 4)
+    from crfr.ops.normalize import normalize
+    hr = normalize(jnp.asarray(imgs, jnp.float32))
+    lr = jnp.einsum("oi,bijc,pj->bopc", tr._down, hr, tr._down)
+
+    gen = tr.generator(ema=False)
+
+    def loss_fn(gen):
+        sr, _, _ = gen(lr, train=False)
+        return gl.perceptual_loss(pf(sr), pf(hr))
+
+    loss, grads = nnx.value_and_grad(loss_fn)(gen)
+    assert float(loss) > 0
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > 1e-8, "perceptual term produced no generator gradient"
