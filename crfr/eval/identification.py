@@ -2,18 +2,31 @@
 
 Implements SURVEY.md §2.1 "Identification eval" / §3.4 and BASELINE configs
 2–3: SCface d1/d2/d3 LR probes vs HR mugshot gallery (closed set, rank-1 and
-CMC) and TinyFace / QMUL-SurvFace open-set identification (TPIR@FPIR).
+CMC) and TinyFace / QMUL-SurvFace open-set identification (rank-1/5/10/20
+CMC over the distractor-augmented gallery, TPIR@FPIR).
 
 TPU-first design (SURVEY.md §5.7 — the "long-context analog" of this
-workload): the probe×gallery cosine similarity S = P̂·Ĝᵀ is a pure GEMM. For
-small galleries it is one jitted matmul. For large galleries (MS1M/IJB-C
-scale) ``streaming_topk`` never materializes S: a ``lax.scan`` streams over
-static gallery blocks keeping a running per-probe top-k (flash-attention-style
-blockwise reduction), and ``sharded_topk`` runs that same streaming body under
-``shard_map`` with the GALLERY axis sharded over the mesh — each device scans
-its gallery shard, then the per-shard top-k candidates are all-gathered
-(k·mesh entries per probe, tiny) and reduced. The full similarity matrix
-never exists on any chip.
+workload): the probe×gallery cosine similarity S = P̂·Ĝᵀ is a pure GEMM,
+and the PRODUCTION path never materializes it. Every entry point
+(``closed_set_identification`` / ``open_set_identification`` and the IJB-C
+1:N stack built on them) routes through ``topk_matches``:
+
+- single device: ``streaming_topk`` — a ``lax.scan`` over static gallery
+  blocks keeping a running per-probe top-k (flash-attention-style blockwise
+  reduction). Peak live memory is O(N·(k+block)), independent of gallery
+  size.
+- >1-device mesh: ``sharded_topk`` — the same streaming body under
+  ``shard_map`` with the GALLERY axis sharded over the mesh; each device
+  scans its gallery shard, then the per-shard top-k candidates are
+  all-gathered (k·mesh entries per probe, tiny — rides ICI) and reduced.
+
+Rank/CMC from top-k candidates is exact: no correct-identity entry can
+outscore the best correct entry, so the first correct-label position in the
+score-sorted candidate list equals the count of wrong-identity entries above
+the best correct one (the classical definition), for any k ≥ max_rank.
+
+Gallery labels are non-negative by convention; label −1 marks padding rows
+(masked out of every top-k).
 """
 
 from __future__ import annotations
@@ -40,95 +53,8 @@ def _normalized(x):
     return x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
 
 
-@partial(jax.jit, static_argnames=("max_rank",))
-def _closed_set(probe_emb, gallery_emb, probe_labels, gallery_labels,
-                max_rank: int = 20):
-    """One jitted GEMM + rank computation.
-
-    Returns (rank1_hits (N,), cmc_hits (N, max_rank)).
-    """
-    p = _normalized(probe_emb)
-    g = _normalized(gallery_emb)
-    sim = jnp.dot(p, g.T, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)      # (N, M)
-    # Rank of the best-scoring correct-identity gallery entry: count the
-    # gallery entries of WRONG identity scoring strictly above it.
-    match = probe_labels[:, None] == gallery_labels[None, :]  # (N, M)
-    best_correct = jnp.max(jnp.where(match, sim, -jnp.inf), axis=1)
-    above = jnp.sum((sim > best_correct[:, None]) & ~match, axis=1)  # (N,)
-    ranks = above  # 0-indexed rank
-    cmc_hits = ranks[:, None] < jnp.arange(1, max_rank + 1)[None, :]
-    return ranks == 0, cmc_hits
-
-
-def closed_set_identification(probe_emb, gallery_emb, probe_labels,
-                              gallery_labels, max_rank: int = 20
-                              ) -> IdentificationResult:
-    """SCface-style closed-set identification (every probe is enrolled)."""
-    r1, cmc_hits = _closed_set(jnp.asarray(probe_emb), jnp.asarray(gallery_emb),
-                               jnp.asarray(probe_labels),
-                               jnp.asarray(gallery_labels), max_rank=max_rank)
-    return IdentificationResult(
-        rank1=float(jnp.mean(r1)),
-        cmc=np.asarray(jnp.mean(cmc_hits, axis=0)),
-        tpir_at_fpir={},
-    )
-
-
-@jax.jit
-def _open_set_scores(probe_emb, gallery_emb, gallery_labels):
-    p = _normalized(probe_emb)
-    g = _normalized(gallery_emb)
-    sim = jnp.dot(p, g.T, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    top_idx = jnp.argmax(sim, axis=1)
-    top_sim = jnp.max(sim, axis=1)
-    top_label = gallery_labels[top_idx]
-    return top_sim, top_label
-
-
-def open_set_identification(probe_emb, gallery_emb, probe_labels,
-                            gallery_labels, probe_mated,
-                            fpir_targets=(1e-2, 1e-1)) -> IdentificationResult:
-    """TinyFace / QMUL-SurvFace open-set protocol.
-
-    ``probe_mated`` (N,) bool: True where the probe identity is enrolled in
-    the gallery. FPIR(τ) = P(top_sim ≥ τ | unmated); TPIR(τ) = P(top_sim ≥ τ
-    AND top-1 identity correct | mated). Thresholds come from the unmated
-    score quantiles (exact, no sweep grid).
-    """
-    top_sim, top_label = _open_set_scores(jnp.asarray(probe_emb),
-                                          jnp.asarray(gallery_emb),
-                                          jnp.asarray(gallery_labels))
-    top_sim = np.asarray(top_sim)
-    top_label = np.asarray(top_label)
-    probe_labels = np.asarray(probe_labels)
-    mated = np.asarray(probe_mated, dtype=bool)
-
-    correct = (top_label == probe_labels) & mated
-    rank1 = float(correct[mated].mean()) if mated.any() else 0.0
-
-    tpir = {}
-    unmated_scores = np.sort(top_sim[~mated])[::-1]
-    for tgt in fpir_targets:
-        # accept exactly k = floor(tgt·n) impostors: τ = (k+1)-th largest
-        # unmated score with STRICT '>' acceptance (τ=−inf accepts all when
-        # k ≥ n or there are no impostors).
-        n_un = len(unmated_scores)
-        k = int(np.floor(tgt * n_un))
-        if n_un == 0 or k >= n_un:
-            tau = -np.inf
-        else:
-            tau = unmated_scores[k]
-        hit = (top_sim > tau) & correct
-        tpir[float(tgt)] = float(hit[mated].mean()) if mated.any() else 0.0
-
-    return IdentificationResult(rank1=rank1, cmc=np.asarray([rank1]),
-                                tpir_at_fpir=tpir)
-
-
 # ---------------------------------------------------------------------------
-# Streaming / sharded top-k for MS1M- and IJB-C-scale galleries
+# Streaming / sharded top-k — the production similarity engine
 # ---------------------------------------------------------------------------
 
 
@@ -138,13 +64,14 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
     """Top-k gallery matches per probe WITHOUT materializing (N, M) sims.
 
     lax.scan over static gallery blocks; carries running (scores, labels)
-    top-k per probe. Gallery is zero-padded to a block multiple (padding
-    scores −inf). Returns (scores (N, k), labels (N, k)) sorted desc.
+    top-k per probe. Gallery is zero-padded to a block multiple; padding
+    rows and rows with label < 0 score −inf. Returns (scores (N, k),
+    labels (N, k)) sorted desc.
     """
     p = _normalized(probe_emb)                             # (N, D)
     g = _normalized(gallery_emb)                           # (M, D)
     m = g.shape[0]
-    nblocks = -(-m // block)
+    nblocks = max(-(-m // block), 1)
     pad = nblocks * block - m
     g = jnp.pad(g, ((0, pad), (0, 0)))
     lbl = jnp.pad(jnp.asarray(gallery_labels), (0, pad), constant_values=-1)
@@ -161,7 +88,8 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
         gblk, lblk, vblk = xs
         sim = jnp.dot(p, gblk.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)  # (N, block)
-        sim = jnp.where(vblk[None, :], sim, -jnp.inf)
+        ok = vblk & (lblk >= 0)            # mask padding / sentinel rows
+        sim = jnp.where(ok[None, :], sim, -jnp.inf)
         cat_s = jnp.concatenate([top_s, sim], axis=1)
         cat_l = jnp.concatenate([top_l, jnp.broadcast_to(lblk, (n, block))],
                                 axis=1)
@@ -178,7 +106,8 @@ def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096):
     probes replicated; per-shard streaming top-k then a k·n_shards merge.
 
     Returns fn(probe_emb, gallery_emb, gallery_labels) → (scores, labels),
-    where gallery rows must divide evenly over the mesh (pad with labels=-1).
+    where gallery rows must divide evenly over the mesh (pad with labels=-1;
+    ``topk_matches`` does this automatically).
     """
     axes = tuple(mesh.axis_names)
 
@@ -201,3 +130,141 @@ def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096):
         out_specs=(P(), P()),
         check_rep=False,
     )
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def _streaming_topk_jit(p, g, lbl, k: int, block: int):
+    return streaming_topk(p, g, lbl, k=k, block=block)
+
+
+def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
+                 block: int = 4096, mesh: Mesh | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-probe top-k (scores, labels) against an arbitrarily large gallery.
+
+    Dispatch: a >1-device mesh shards the gallery rows over it
+    (``sharded_topk``); otherwise the single-device streaming scan. Handles
+    gallery padding to mesh-divisible row counts (label −1, masked).
+    """
+    p = jnp.asarray(probe_emb)
+    g = jnp.asarray(gallery_emb)
+    lbl = jnp.asarray(np.asarray(gallery_labels))
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None and n_dev > 1:
+        m = g.shape[0]
+        padm = -(-m // n_dev) * n_dev
+        if padm != m:
+            g = jnp.pad(g, ((0, padm - m), (0, 0)))
+            lbl = jnp.pad(lbl, (0, padm - m), constant_values=-1)
+        fn = jax.jit(sharded_topk(mesh, k=k, block=min(block, padm // n_dev)))
+        s, l = fn(p, g, lbl)
+    else:
+        s, l = _streaming_topk_jit(p, g, lbl, k, min(block, max(g.shape[0], 1)))
+    return np.asarray(s), np.asarray(l)
+
+
+def _rank_from_topk(top_labels: np.ndarray, probe_labels: np.ndarray,
+                    max_rank: int) -> tuple[np.ndarray, np.ndarray]:
+    """(first-match rank hits) from score-sorted top-k labels.
+
+    Returns (rank1_hits (N,) bool, cmc_hits (N, max_rank) bool). Exact for
+    k ≥ max_rank (see module docstring).
+    """
+    top_labels = np.asarray(top_labels)[:, :max_rank]
+    probe_labels = np.asarray(probe_labels)
+    match = top_labels == probe_labels[:, None]
+    found = match.any(axis=1)
+    first = np.where(found, match.argmax(axis=1), max_rank)
+    cmc_hits = first[:, None] < np.arange(1, max_rank + 1)[None, :]
+    return first == 0, cmc_hits
+
+
+# ---------------------------------------------------------------------------
+# Dense reference (small galleries / golden tests)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_rank",))
+def _dense_closed_set(probe_emb, gallery_emb, probe_labels, gallery_labels,
+                      max_rank: int = 20):
+    """One jitted GEMM + rank computation — the O(N·M)-memory golden the
+    streaming path is tested against. Returns (rank1_hits, cmc_hits)."""
+    p = _normalized(probe_emb)
+    g = _normalized(gallery_emb)
+    sim = jnp.dot(p, g.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)      # (N, M)
+    match = probe_labels[:, None] == gallery_labels[None, :]  # (N, M)
+    best_correct = jnp.max(jnp.where(match, sim, -jnp.inf), axis=1)
+    above = jnp.sum((sim > best_correct[:, None]) & ~match, axis=1)  # (N,)
+    ranks = above  # 0-indexed rank
+    cmc_hits = ranks[:, None] < jnp.arange(1, max_rank + 1)[None, :]
+    return ranks == 0, cmc_hits
+
+
+# ---------------------------------------------------------------------------
+# Protocol entry points
+# ---------------------------------------------------------------------------
+
+
+def closed_set_identification(probe_emb, gallery_emb, probe_labels,
+                              gallery_labels, max_rank: int = 20,
+                              mesh: Mesh | None = None, block: int = 4096
+                              ) -> IdentificationResult:
+    """SCface-style closed-set identification (every probe is enrolled).
+
+    Streams the gallery in blocks (sharded over ``mesh`` when it has >1
+    device) — usable unchanged at MS1M-gallery scale."""
+    _, labels = topk_matches(probe_emb, gallery_emb, gallery_labels,
+                             k=max_rank, block=block, mesh=mesh)
+    r1, cmc_hits = _rank_from_topk(labels, probe_labels, max_rank)
+    return IdentificationResult(
+        rank1=float(np.mean(r1)),
+        cmc=cmc_hits.mean(axis=0),
+        tpir_at_fpir={},
+    )
+
+
+def open_set_identification(probe_emb, gallery_emb, probe_labels,
+                            gallery_labels, probe_mated,
+                            fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
+                            mesh: Mesh | None = None, block: int = 4096
+                            ) -> IdentificationResult:
+    """TinyFace / QMUL-SurvFace open-set protocol.
+
+    ``probe_mated`` (N,) bool: True where the probe identity is enrolled in
+    the gallery. Reports the full CMC (rank-1/5/10/20 headline table) over
+    MATED probes against the distractor-augmented gallery, plus TPIR@FPIR:
+    FPIR(τ) = P(top_sim ≥ τ | unmated); TPIR(τ) = P(top_sim ≥ τ AND top-1
+    identity correct | mated). Thresholds come from the unmated score
+    quantiles (exact, no sweep grid). Gallery streams in blocks — native-LR
+    sets with 10⁵-distractor galleries never materialize (N, M)."""
+    scores, labels = topk_matches(probe_emb, gallery_emb, gallery_labels,
+                                  k=max_rank, block=block, mesh=mesh)
+    probe_labels = np.asarray(probe_labels)
+    mated = np.asarray(probe_mated, dtype=bool)
+    top_sim = scores[:, 0]
+    top_label = labels[:, 0]
+
+    r1_hits, cmc_hits = _rank_from_topk(labels, probe_labels, max_rank)
+    correct = (top_label == probe_labels) & mated
+    rank1 = float(correct[mated].mean()) if mated.any() else 0.0
+    cmc = (cmc_hits[mated].mean(axis=0) if mated.any()
+           else np.zeros(max_rank))
+
+    tpir = {}
+    unmated_scores = np.sort(top_sim[~mated])[::-1]
+    for tgt in fpir_targets:
+        # accept exactly k = floor(tgt·n) impostors: τ = (k+1)-th largest
+        # unmated score with STRICT '>' acceptance (τ=−inf accepts all when
+        # k ≥ n or there are no impostors).
+        n_un = len(unmated_scores)
+        k = int(np.floor(tgt * n_un))
+        if n_un == 0 or k >= n_un:
+            tau = -np.inf
+        else:
+            tau = unmated_scores[k]
+        hit = (top_sim > tau) & correct
+        tpir[float(tgt)] = float(hit[mated].mean()) if mated.any() else 0.0
+
+    return IdentificationResult(rank1=rank1, cmc=np.asarray(cmc),
+                                tpir_at_fpir=tpir)

@@ -16,7 +16,10 @@ when its mount appears):
 
 TPU notes: pooling is two ``segment_sum``s (static segment counts) and the
 pair scoring is a gather + row-dot — all jitted; the (probes × gallery)
-similarity reuses the streaming/sharded top-k machinery for large galleries.
+similarity routes through ``crfr.eval.identification.topk_matches``
+(streaming gallery-block scan; gallery sharded over ``mesh`` when one with
+>1 device is passed), so the full similarity matrix is never materialized
+regardless of gallery size.
 """
 
 from __future__ import annotations
@@ -149,15 +152,16 @@ def pool_meta(image_embs, template_ids, media_ids, subject_ids
 
 def ijbc_1n_two_gallery(probe_embs, probe_subjects,
                         g1_embs, g1_subjects, g2_embs, g2_subjects,
-                        fpir_targets=(1e-2, 1e-1), max_rank: int = 20
+                        fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
+                        mesh=None, block: int = 4096
                         ) -> tuple[IJBCResult, IJBCResult, IJBCResult]:
     """Standard IJB-C 1:N: evaluate the probe set against EACH of the two
     disjoint gallery splits (G1/G2) and average — the convention the
     headline rank-k / TPIR@FPIR numbers use. → (avg, g1_result, g2_result)."""
     r1 = ijbc_1n(probe_embs, probe_subjects, g1_embs, g1_subjects,
-                 fpir_targets, max_rank)
+                 fpir_targets, max_rank, mesh=mesh, block=block)
     r2 = ijbc_1n(probe_embs, probe_subjects, g2_embs, g2_subjects,
-                 fpir_targets, max_rank)
+                 fpir_targets, max_rank, mesh=mesh, block=block)
     avg = IJBCResult(
         tar_at_far={},
         rank1=0.5 * (r1.rank1 + r2.rank1),
@@ -168,10 +172,12 @@ def ijbc_1n_two_gallery(probe_embs, probe_subjects,
 
 
 def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
-            fpir_targets=(1e-2, 1e-1), max_rank: int = 20) -> IJBCResult:
+            fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
+            mesh=None, block: int = 4096) -> IJBCResult:
     """1:N from POOLED template embeddings (run pool_templates first).
     Open-set TPIR@FPIR counts probes whose subject is absent from the
-    gallery as unmated."""
+    gallery as unmated. Gallery streams in blocks (sharded over ``mesh``
+    when >1 device) — no (N, M) buffer at any gallery size."""
     from crfr.eval.identification import (closed_set_identification,
                                           open_set_identification)
 
@@ -180,9 +186,10 @@ def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
     mated = np.isin(probe_subjects, gallery_subjects)
     closed = closed_set_identification(
         np.asarray(probe_embs)[mated], gallery_embs,
-        probe_subjects[mated], gallery_subjects, max_rank=max_rank)
+        probe_subjects[mated], gallery_subjects, max_rank=max_rank,
+        mesh=mesh, block=block)
     open_res = open_set_identification(
         probe_embs, gallery_embs, probe_subjects, gallery_subjects, mated,
-        fpir_targets=fpir_targets)
+        fpir_targets=fpir_targets, max_rank=max_rank, mesh=mesh, block=block)
     return IJBCResult(tar_at_far={}, rank1=closed.rank1, cmc=closed.cmc,
                       tpir_at_fpir=open_res.tpir_at_fpir)
