@@ -65,18 +65,32 @@ def cmd_train(args, extra) -> int:
         print(f"resumed from step {ck.latest_step()}", file=sys.stderr)
 
     source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
-    if source is not None and distributed and jax.process_count() > 1:
-        # Multi-host DP: each host reads its own contiguous index shard
-        # (grain then shuffles within it); the mesh spans all hosts, so the
-        # global batch is the concatenation of per-host batches.
+    multihost = distributed and jax.process_count() > 1
+    # Multi-host DP input convention: each host's pipeline draws a DISTINCT
+    # (batch/P)-row slab from its own contiguous index shard and places it
+    # with host_put_local, so the GLOBAL batch stays cfg.train.batch_size
+    # (the concatenation of per-host slabs) with zero cross-host data motion.
+    local_bs = cfg.train.batch_size
+    if multihost:
+        assert cfg.train.batch_size % jax.process_count() == 0, (
+            f"batch_size {cfg.train.batch_size} must divide over "
+            f"{jax.process_count()} processes")
+        local_bs = cfg.train.batch_size // jax.process_count()
+    if source is not None and multihost:
         from crfr.data.records import SubsetSource
         lo, hi = process_shard(len(source))
         source = SubsetSource(source, lo, hi)
         print(f"host {jax.process_index()}/{jax.process_count()}: "
-              f"records [{lo}, {hi})", file=sys.stderr)
+              f"records [{lo}, {hi}), local batch {local_bs}",
+              file=sys.stderr)
     start = tr.sync_host_step()
-    data_state_path = os.path.join(cfg.train.checkpoint_dir,
-                                   "data_state.json")
+    # Per-process data state: each host's grain iterator walks its OWN
+    # record shard, so its resume state is private (a shared filename on a
+    # pod-shared checkpoint dir would be last-writer-wins).
+    data_state_path = os.path.join(
+        cfg.train.checkpoint_dir,
+        "data_state.json" if not multihost
+        else f"data_state_{jax.process_index()}.json")
     if source is not None:
         data_state = None
         if args.resume and start and os.path.exists(data_state_path):
@@ -85,19 +99,23 @@ def cmd_train(args, extra) -> int:
             if saved.get("step") == start:     # exact-match resume only
                 data_state = saved["state"]
         batches = train_batches(source, PipelineCfg(
-            batch_size=cfg.train.batch_size, seed=cfg.train.seed,
+            batch_size=local_bs, seed=cfg.train.seed,
             random_flip=cfg.data.random_flip, num_workers=args.workers),
             start_step=start, state=data_state)
     else:
-        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000,
-                                seed=cfg.train.seed)
+        # fold the process index into the seed so hosts draw distinct
+        # synthetic batches under the local-slab convention
+        batches = synth.batches(local_bs, args.max_steps or 1000,
+                                seed=cfg.train.seed
+                                + (jax.process_index() if multihost else 0))
 
     # Double-buffered H2D feeding (H2D of batch i+1 overlaps step i); the
     # resumable variant tracks the grain state of the CONSUMED batch so
     # prefetch never breaks exact data resume.
     from crfr.train.feed import ResumableDeviceFeed, device_feed
-    feed = (ResumableDeviceFeed(batches, tr.mesh) if source is not None
-            else device_feed(batches, tr.mesh))
+    feed = (ResumableDeviceFeed(batches, tr.mesh, local=multihost)
+            if source is not None
+            else device_feed(batches, tr.mesh, local=multihost))
 
     def save(step: int, force: bool = False):
         ck.save(step, tr.state, cfg.to_json(), force=force)
@@ -113,6 +131,15 @@ def cmd_train(args, extra) -> int:
         # reference §3.1 "every N: evaluate(lfw)" — .bin verification set
         nonlocal _eval_fn
         if not args.eval_bin:
+            return
+        if multihost:
+            # In multi-controller JAX the eval program would mix per-host
+            # local arrays with globally-sharded weights (raises or hangs).
+            # Run eval offline from checkpoints on pods.
+            if _eval_fn is None and jax.process_index() == 0:
+                print("in-training eval disabled under multi-host; "
+                      "run eval-bin offline from checkpoints", file=sys.stderr)
+            _eval_fn = "disabled-multihost"
             return
         from crfr.data.bins import evaluate_bin
         from crfr.eval.extract import make_extract_fn
@@ -145,12 +172,48 @@ def cmd_train(args, extra) -> int:
     return 0
 
 
+def _distributed_feed(cfg, args, mesh, start: int = 0):
+    """Shared data plumbing for the SR/distill trainers (the main trainer
+    has its own exact-resume variant): multi-host record shard + local-slab
+    batch size + double-buffered H2D device feed. Yields placed
+    (images, labels) tuples."""
+    import jax
+    from crfr.train.feed import device_feed
+
+    multihost = jax.process_count() > 1
+    local_bs = cfg.train.batch_size
+    if multihost:
+        assert cfg.train.batch_size % jax.process_count() == 0
+        local_bs = cfg.train.batch_size // jax.process_count()
+    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
+    if source is not None:
+        from crfr.data.pipeline import PipelineCfg, train_batches
+        if multihost:
+            from crfr.data.records import SubsetSource
+            from crfr.parallel.multihost import process_shard
+            lo, hi = process_shard(len(source))
+            source = SubsetSource(source, lo, hi)
+            print(f"host {jax.process_index()}/{jax.process_count()}: "
+                  f"records [{lo}, {hi}), local batch {local_bs}",
+                  file=sys.stderr)
+        batches = train_batches(source, PipelineCfg(
+            batch_size=local_bs, seed=cfg.train.seed,
+            random_flip=cfg.data.random_flip), start_step=start)
+    else:
+        batches = synth.batches(local_bs, args.max_steps or 1000,
+                                seed=cfg.train.seed
+                                + (jax.process_index() if multihost else 0))
+    return device_feed(batches, mesh, local=multihost)
+
+
 def cmd_train_sr(args, extra) -> int:
+    from crfr.parallel.multihost import maybe_initialize_distributed
     from crfr.train.sr_loop import SRTrainer
     from crfr.utils.logging import MetricsWriter
 
     from crfr.train.checkpoints import Checkpointer
 
+    maybe_initialize_distributed()
     cfg = _load_cfg(args, extra)
     metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
                                          "sr_metrics.jsonl"),
@@ -174,23 +237,21 @@ def cmd_train_sr(args, extra) -> int:
         cfg = cfg.override(**{"loss.sr_perceptual_weight": args.perceptual})
         perceptual_fn = perceptual_from_trainer(teacher_tr)
     tr = SRTrainer(cfg, scale=args.scale, metrics=metrics,
-                   teacher_fn=teacher_fn, perceptual_fn=perceptual_fn)
+                   teacher_fn=teacher_fn, perceptual_fn=perceptual_fn,
+                   bicubic_skip=bool(args.bicubic_skip),
+                   lr_g=args.lr_g, lr_d=args.lr_d,
+                   schedule=args.schedule, warmup_steps=args.warmup_steps,
+                   total_steps=args.max_steps or 100_000,
+                   n_d_steps=args.n_d_steps, r1_gamma=args.r1_gamma)
     ck = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "sr"),
                       keep=cfg.train.keep_checkpoints)
     if args.resume and ck.latest_step() is not None:
-        tr.load_state_dict(ck.restore(tr.state_dict()))
+        tr.restore_from(ck)
         print(f"resumed SR from step {tr.step}", file=sys.stderr)
-    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
-    if source is not None:
-        from crfr.data.pipeline import PipelineCfg, train_batches
-        batches = ((imgs, None) for imgs, _ in train_batches(
-            source, PipelineCfg(batch_size=cfg.train.batch_size,
-                                seed=cfg.train.seed)))
-    else:
-        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
     m = {}
     start = tr.step
-    for i, (imgs, _) in enumerate(batches):
+    for i, (imgs, _) in enumerate(_distributed_feed(cfg, args, tr.mesh,
+                                                    start=start)):
         if args.max_steps and i + start >= args.max_steps:
             break
         m = tr.train_step(imgs)
@@ -207,12 +268,14 @@ def cmd_train_sr(args, extra) -> int:
 
 def cmd_train_distill(args, extra) -> int:
     import jax
+    from crfr.parallel.multihost import maybe_initialize_distributed
     from crfr.train.checkpoints import Checkpointer
     from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
     from crfr.train.loop import Trainer
     from crfr.utils.logging import MetricsWriter
     from crfr.configs import Config
 
+    maybe_initialize_distributed()
     cfg = _load_cfg(args, extra)
     if cfg.loss.distill_weight <= 0:
         cfg = cfg.override(**{"loss.distill_weight": args.kd_weight})
@@ -233,9 +296,10 @@ def cmd_train_distill(args, extra) -> int:
         assert args.sr_ckpt, "--sr-finetune requires --sr-ckpt"
         from crfr.train.checkpoints import Checkpointer as _Ck
         from crfr.train.sr_loop import SRTrainer
-        sr_tr = SRTrainer(cfg, scale=args.sr_scale)
+        sr_tr = SRTrainer(cfg, scale=args.sr_scale,
+                          bicubic_skip=bool(args.sr_bicubic_skip))
         _ck = _Ck(args.sr_ckpt, keep=1)
-        sr_tr.load_state_dict(_ck.restore(sr_tr.state_dict()))
+        sr_tr.restore_from(_ck)
         _ck.close()
         sr_module = (sr_tr.g_graphdef, sr_tr._serve_state(ema=True))
     else:
@@ -249,18 +313,11 @@ def cmd_train_distill(args, extra) -> int:
     if args.resume and sck.latest_step() is not None:
         st.load_state_dict(sck.restore(st.state_dict()))
         print(f"resumed student from step {st.step}", file=sys.stderr)
-    source, synth = _source_or_synthetic(cfg, cfg.data.train_records or None)
-    if source is not None:
-        from crfr.data.pipeline import PipelineCfg, train_batches
-        batches = train_batches(source, PipelineCfg(
-            batch_size=cfg.train.batch_size, seed=cfg.train.seed))
-    else:
-        batches = synth.batches(cfg.train.batch_size, args.max_steps or 1000)
     student_embed = st.student_embed_fn(with_residual=True)  # live state
 
     def in_loop_eval(step: int):
         # verification of the distilled student on a .bin pair set
-        if not args.eval_bin:
+        if not args.eval_bin or jax.process_count() > 1:
             return
         from crfr.data.bins import evaluate_bin
         res = evaluate_bin(args.eval_bin, student_embed, cfg.eval.batch_size,
@@ -269,7 +326,8 @@ def cmd_train_distill(args, extra) -> int:
 
     m = {}
     start = st.step
-    for i, (imgs, labels) in enumerate(batches):
+    for i, (imgs, labels) in enumerate(_distributed_feed(cfg, args, st.mesh,
+                                                         start=start)):
         if args.max_steps and i + start >= args.max_steps:
             break
         m = st.train_step(imgs, labels)
@@ -291,7 +349,9 @@ def _sr_apply_if_requested(args, cfg):
     if not getattr(args, "sr_ckpt", ""):
         return None
     from crfr.train.sr_loop import load_sr_apply
-    return load_sr_apply(args.sr_ckpt, cfg, scale=args.sr_scale)
+    return load_sr_apply(args.sr_ckpt, cfg, scale=args.sr_scale,
+                         bicubic_skip=bool(getattr(args, "sr_bicubic_skip",
+                                                   1)))
 
 
 def _embed_fn_from_ckpt(args, extra):
@@ -377,27 +437,85 @@ def cmd_eval_scface(args, extra) -> int:
     g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
     p = extract_embeddings(split.probe_paths, fn_p, cfg.eval.batch_size, cfg.model.input_size)
     res = closed_set_identification(p, g, split.probe_labels,
-                                    split.gallery_labels)
+                                    split.gallery_labels,
+                                    mesh=_topk_mesh(tr),
+                                    block=cfg.eval.gallery_block)
     print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist()}))
     return 0
 
 
+def _topk_mesh(tr=None):
+    """Mesh for the streaming/sharded gallery top-k: the trainer's mesh (or
+    every visible device when no model is loaded); None when single-device
+    (the plain streaming scan needs no mesh)."""
+    from crfr.parallel.mesh import make_mesh
+
+    mesh = tr.mesh if tr is not None else make_mesh(None)
+    return mesh if mesh.devices.size > 1 else None
+
+
 def cmd_eval_openset(args, extra) -> int:
-    from crfr.data.datasets import open_set_split
-    from crfr.eval.extract import extract_embeddings, make_extract_fn
+    """TinyFace / QMUL-SurvFace native-LR open-set identification
+    (BASELINE config 3): full CMC + TPIR@FPIR over the distractor-augmented
+    gallery, streamed in blocks (never materializing probes × gallery).
+
+    Two input modes: image lists (embeds with --ckpt; probes optionally
+    routed through the hallucinator via --sr-ckpt, exactly as eval-scface
+    does), or precomputed embeddings (--probe-npy/--gallery-npy + labels,
+    e.g. from `crfr extract`) which needs no model at all."""
+    import numpy as np
+
     from crfr.eval.identification import open_set_identification
 
-    tr, cfg = _embed_fn_from_ckpt(args, extra)
-    split = open_set_split(args.gallery_list, args.mated_list,
-                           args.unmated_list, args.root)
-    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
-                         flip_fusion=cfg.eval.flip_fusion)
-    g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
-    p = extract_embeddings(split.probe_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
-    res = open_set_identification(p, g, split.probe_labels,
-                                  split.gallery_labels, split.probe_mated,
-                                  cfg.eval.fpir_targets)
-    print(json.dumps({"rank1": res.rank1, "tpir_at_fpir": res.tpir_at_fpir}))
+    if args.probe_npy:
+        for need in ("gallery_npy", "gallery_labels_npy", "probe_labels_npy",
+                     "mated_npy"):
+            assert getattr(args, need), f"--probe-npy mode needs --{need.replace('_', '-')}"
+        g = np.load(args.gallery_npy)
+        glab = np.load(args.gallery_labels_npy)
+        p = np.load(args.probe_npy)
+        plab = np.load(args.probe_labels_npy)
+        mated = np.load(args.mated_npy).astype(bool)
+        cfg = _load_cfg(args, extra)
+        mesh = _topk_mesh()
+    else:
+        from crfr.data.datasets import open_set_split
+        from crfr.eval.extract import extract_embeddings, make_extract_fn
+
+        assert args.ckpt and args.gallery_list and args.mated_list and \
+            args.unmated_list, ("image-list mode needs --ckpt "
+                                "--gallery-list --mated-list --unmated-list "
+                                "(or use --probe-npy)")
+        tr, cfg = _embed_fn_from_ckpt(args, extra)
+        split = open_set_split(args.gallery_list, args.mated_list,
+                               args.unmated_list, args.root)
+        backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
+        kw = dict(resize_mode=cfg.data.resize_mode,
+                  flip_fusion=cfg.eval.flip_fusion,
+                  image_size=cfg.model.input_size)
+        fn_g = make_extract_fn(backbone, **kw)
+        sr_apply = _sr_apply_if_requested(args, cfg)
+        degrade = args.degrade or cfg.data.eval_degrade_size
+        if sr_apply is not None and not degrade:
+            degrade = cfg.model.input_size // args.sr_scale
+        # PROBES (the native-LR side) optionally degraded and/or routed
+        # through the hallucinator; the HR gallery never is.
+        fn_p = (make_extract_fn(backbone, degrade_to=degrade,
+                                sr_apply=sr_apply, **kw)
+                if (degrade or sr_apply is not None) else fn_g)
+        g = extract_embeddings(split.gallery_paths, fn_g, cfg.eval.batch_size,
+                               cfg.model.input_size)
+        p = extract_embeddings(split.probe_paths, fn_p, cfg.eval.batch_size,
+                               cfg.model.input_size)
+        glab, plab, mated = (split.gallery_labels, split.probe_labels,
+                             split.probe_mated)
+        mesh = _topk_mesh(tr)
+    res = open_set_identification(p, g, plab, glab, mated,
+                                  cfg.eval.fpir_targets,
+                                  max_rank=args.max_rank, mesh=mesh,
+                                  block=cfg.eval.gallery_block)
+    print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist(),
+                      "tpir_at_fpir": res.tpir_at_fpir}))
     return 0
 
 
@@ -450,6 +568,22 @@ def cmd_eval_ijbc(args, extra) -> int:
     from crfr.eval.extract import extract_embeddings, make_extract_fn
     from crfr.eval.ijbc import ijbc_11, ijbc_1n_two_gallery, pool_meta
 
+    if args.probe_tpl_npy:
+        # precomputed POOLED template embeddings (1:N only; no model needed)
+        cfg = _load_cfg(args, extra)
+        avg, r1, r2 = ijbc_1n_two_gallery(
+            np.load(args.probe_tpl_npy), np.load(args.probe_subjects_npy),
+            np.load(args.g1_tpl_npy), np.load(args.g1_subjects_npy),
+            np.load(args.g2_tpl_npy), np.load(args.g2_subjects_npy),
+            fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(),
+            block=cfg.eval.gallery_block)
+        print(json.dumps({"rank1": avg.rank1,
+                          "cmc": np.asarray(avg.cmc).tolist(),
+                          "tpir_at_fpir": avg.tpir_at_fpir,
+                          "rank1_g1": r1.rank1, "rank1_g2": r2.rank1}))
+        return 0
+
+    assert args.ckpt, "--ckpt required (or precomputed --probe-tpl-npy mode)"
     tr, cfg = _embed_fn_from_ckpt(args, extra)
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
                          flip_fusion=cfg.eval.flip_fusion,
@@ -483,7 +617,8 @@ def cmd_eval_ijbc(args, extra) -> int:
         g2_emb, g2_subj, _ = pooled(args.gallery_g2)
         avg, r1, r2 = ijbc_1n_two_gallery(
             p_emb, p_subj, g1_emb, g1_subj, g2_emb, g2_subj,
-            fpir_targets=cfg.eval.fpir_targets)
+            fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(tr),
+            block=cfg.eval.gallery_block)
         out["rank1"] = avg.rank1
         out["cmc"] = np.asarray(avg.cmc).tolist()
         out["tpir_at_fpir"] = avg.tpir_at_fpir
@@ -601,6 +736,16 @@ def cmd_bench(args, extra) -> int:
     return 0
 
 
+def _add_sr_args(p, help_ckpt: str):
+    """Flags for the frozen-hallucinator plug shared by every consumer of
+    --sr-ckpt (evals, export, distill)."""
+    p.add_argument("--sr-ckpt", default="", help=help_ckpt)
+    p.add_argument("--sr-scale", type=int, default=8)
+    p.add_argument("--sr-bicubic-skip", type=int, default=1,
+                   help="1 if the SR ckpt was trained with the bicubic-skip "
+                        "coarse path (format v2 default), 0 for pre-v2 ckpts")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="crfr")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -627,6 +772,19 @@ def main(argv=None) -> int:
     p.add_argument("--perceptual", type=float, default=0.0,
                    help="weight of the recognition-feature perceptual loss "
                         "(teacher stage features; needs --teacher-ckpt)")
+    p.add_argument("--bicubic-skip", type=int, default=1,
+                   help="train G with the fixed bicubic-up skip connection "
+                        "(G == bicubic at init; format v2 default)")
+    p.add_argument("--lr-g", type=float, default=1e-4)
+    p.add_argument("--lr-d", type=float, default=1e-4)
+    p.add_argument("--schedule", default="constant",
+                   choices=("constant", "cosine"),
+                   help="Adam LR schedule over --max-steps (G and D)")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--n-d-steps", type=int, default=1,
+                   help="discriminator updates per generator update")
+    p.add_argument("--r1-gamma", type=float, default=0.0,
+                   help="R1 gradient-penalty weight on the D step (0 = off)")
     p.add_argument("--tensorboard", default="",
                    help="also mirror metrics to TensorBoard event files")
     p.set_defaults(fn=cmd_train_sr)
@@ -637,9 +795,7 @@ def main(argv=None) -> int:
     p.add_argument("--kd-weight", type=float, default=1.0)
     p.add_argument("--max-steps", type=int, default=0)
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--sr-ckpt", default="",
-                   help="hallucinator ckpt: student consumes G(lr)")
-    p.add_argument("--sr-scale", type=int, default=8)
+    _add_sr_args(p, "hallucinator ckpt: student consumes G(lr)")
     p.add_argument("--sr-finetune", action="store_true",
                    help="fine-tune G jointly with the student (needs "
                         "--sr-ckpt); G state checkpoints with the student")
@@ -660,9 +816,7 @@ def main(argv=None) -> int:
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--degrade-side", default="second",
                    choices=("first", "second", "both"))
-    p.add_argument("--sr-ckpt", default="",
-                   help="route degraded side through the hallucinator")
-    p.add_argument("--sr-scale", type=int, default=8)
+    _add_sr_args(p, "route degraded side through the hallucinator")
     p.set_defaults(fn=cmd_eval_verification)
 
     p = sub.add_parser("eval-scface")
@@ -671,17 +825,28 @@ def main(argv=None) -> int:
     p.add_argument("--probes", required=True)
     p.add_argument("--distance", type=int, default=1, choices=(1, 2, 3))
     p.add_argument("--preset", default="scface")
-    p.add_argument("--sr-ckpt", default="",
-                   help="route probes through the hallucinator")
-    p.add_argument("--sr-scale", type=int, default=8)
+    _add_sr_args(p, "route probes through the hallucinator")
     p.set_defaults(fn=cmd_eval_scface)
 
     p = sub.add_parser("eval-openset")
-    p.add_argument("--ckpt", required=True)
-    p.add_argument("--gallery-list", required=True)
-    p.add_argument("--mated-list", required=True)
-    p.add_argument("--unmated-list", required=True)
+    p.add_argument("--ckpt", default="",
+                   help="recognition ckpt (image-list mode)")
+    p.add_argument("--gallery-list", default="")
+    p.add_argument("--mated-list", default="")
+    p.add_argument("--unmated-list", default="")
     p.add_argument("--root", default="")
+    p.add_argument("--degrade", type=int, default=0,
+                   help="bicubic probe degradation size (0 = native res)")
+    p.add_argument("--max-rank", type=int, default=20,
+                   help="CMC depth (rank-1/5/10/20 tables)")
+    _add_sr_args(p, "route probes through the hallucinator")
+    p.add_argument("--probe-npy", default="",
+                   help="precomputed probe embeddings .npy (skips --ckpt)")
+    p.add_argument("--probe-labels-npy", default="")
+    p.add_argument("--gallery-npy", default="")
+    p.add_argument("--gallery-labels-npy", default="")
+    p.add_argument("--mated-npy", default="",
+                   help="bool .npy: probe enrolled in gallery")
     p.add_argument("--preset", default="tinyface_survface")
     p.set_defaults(fn=cmd_eval_openset)
 
@@ -690,19 +855,25 @@ def main(argv=None) -> int:
     p.add_argument("--bin", required=True)
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--preset", default="lfw_ir50_16px")
-    p.add_argument("--sr-ckpt", default="",
-                   help="route degraded probes through the hallucinator")
-    p.add_argument("--sr-scale", type=int, default=8)
+    _add_sr_args(p, "route degraded probes through the hallucinator")
     p.set_defaults(fn=cmd_eval_bin)
 
     p = sub.add_parser("eval-ijbc")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default="", help="recognition ckpt (meta mode)")
     p.add_argument("--meta", default="", help="1:1 image meta CSV")
     p.add_argument("--pairs", default="", help="1:1 't1 t2 label' lines")
     p.add_argument("--probe-meta", default="", help="1:N probe meta CSV")
     p.add_argument("--gallery-g1", default="", help="1:N gallery split 1")
     p.add_argument("--gallery-g2", default="", help="1:N gallery split 2")
     p.add_argument("--root", default="")
+    p.add_argument("--probe-tpl-npy", default="",
+                   help="precomputed pooled probe templates .npy (1:N, "
+                        "skips --ckpt)")
+    p.add_argument("--probe-subjects-npy", default="")
+    p.add_argument("--g1-tpl-npy", default="")
+    p.add_argument("--g1-subjects-npy", default="")
+    p.add_argument("--g2-tpl-npy", default="")
+    p.add_argument("--g2-subjects-npy", default="")
     p.add_argument("--preset", default="ms1m_ijbc")
     p.set_defaults(fn=cmd_eval_ijbc)
 
@@ -727,9 +898,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--flip-tta", action="store_true")
-    p.add_argument("--sr-ckpt", default="",
-                   help="bake a frozen hallucinator in front of the backbone")
-    p.add_argument("--sr-scale", type=int, default=8)
+    _add_sr_args(p, "bake a frozen hallucinator in front of the backbone")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_export)
 

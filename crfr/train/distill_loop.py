@@ -51,7 +51,7 @@ from crfr.ops.bicubic import degrade_matrix, resize_matrix
 from crfr.ops.normalize import normalize
 from crfr.parallel.mesh import (batch_sharding, class_sharding, host_put,
                                 make_mesh, pad_to_multiple, replicated)
-from crfr.train.loop import lr_schedule
+from crfr.train.loop import lr_schedule, make_sgd_tx
 from crfr.utils.logging import MetricsWriter
 
 
@@ -140,7 +140,10 @@ class DistillTrainer:
         self.state = jax.tree_util.tree_map_with_path(place, state)
 
         self.schedule = lr_schedule(cfg, steps_per_epoch)
-        self.tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
+        # same optimizer chain as the main Trainer (masked WD + grad clip):
+        # student training must regularize exactly like teacher training
+        self.tx = make_sgd_tx(cfg, nnx.state(student, nnx.Param),
+                              self.schedule)
         opt_state = jax.tree_util.tree_map(
             lambda x: host_put(x, rep),
             self.tx.init(nnx.state(student, nnx.Param)))
@@ -342,7 +345,9 @@ class DistillTrainer:
         bs = batch_sharding(self.mesh, 4)
         ls = batch_sharding(self.mesh, 1)
         images = host_put(images, bs)
-        labels = host_put(np.asarray(labels, np.int32), ls)
+        if not isinstance(labels, jax.Array):   # device-fed labels stay put
+            labels = np.asarray(labels, np.int32)
+        labels = host_put(labels, ls)
         if self.g_state is not None:
             (self.state, self.opt_state, self.g_state, self.g_opt,
              m) = self._step_fn(self.state, self.opt_state, self.g_state,

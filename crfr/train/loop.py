@@ -84,6 +84,22 @@ def _wd_mask(params) -> Any:
         treedef, [decide(p) for p, _ in flat])
 
 
+def make_sgd_tx(cfg: Config, params, schedule) -> optax.GradientTransformation:
+    """The shared recognition-training optimizer chain: SGD+momentum with
+    weight decay masked off BN/PReLU/bias and optional global-norm grad
+    clipping. Used by BOTH the main Trainer and DistillTrainer so student
+    training regularizes exactly like teacher training."""
+    tx = optax.sgd(schedule, momentum=cfg.train.momentum)
+    if cfg.train.weight_decay:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.train.weight_decay,
+                                      mask=_wd_mask(params)), tx)
+    if cfg.train.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+                         tx)
+    return tx
+
+
 class FaceTrainModel(nnx.Module):
     """Backbone + margin head in one module so a single split/merge carries
     all params, BN stats and rng state through the jitted step."""
@@ -127,14 +143,7 @@ class Trainer:
             model, nnx.Param, nnx.BatchStat, nnx.RngState)
 
         self.schedule = lr_schedule(cfg, steps_per_epoch)
-        tx = optax.sgd(self.schedule, momentum=cfg.train.momentum)
-        if cfg.train.weight_decay:
-            tx = optax.chain(
-                optax.add_decayed_weights(cfg.train.weight_decay,
-                                          mask=_wd_mask(params)), tx)
-        if cfg.train.grad_clip_norm:
-            tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx)
-        self.tx = tx
+        self.tx = make_sgd_tx(cfg, params, self.schedule)
 
         # --- mesh placement: params replicated EXCEPT head W class-sharded.
         rep = replicated(self.mesh)
@@ -311,7 +320,9 @@ class Trainer:
         bs = batch_sharding(self.mesh, 4)
         ls = batch_sharding(self.mesh, 1)
         images = host_put(images, bs)
-        labels = host_put(np.asarray(labels, np.int32), ls)
+        if not isinstance(labels, jax.Array):   # device-fed labels stay put
+            labels = np.asarray(labels, np.int32)
+        labels = host_put(labels, ls)
         self.state, m = self._step_fn(self.state, images, labels)
         self.host_step += 1
         return m
