@@ -56,3 +56,32 @@ def pytest_sessionstart(session):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_teacher():
+    """ir_18@32 Trainer trained 25 steps on the 4-class synthetic set —
+    session-shared by the distill/SR tests (suite-time: each used to train
+    its own). Consumers only READ the state (teacher_from_trainer /
+    embed_fn close over it); never train_step this fixture."""
+    from crfr.configs import (Config, DataCfg, LossCfg, MeshCfg, ModelCfg,
+                              TrainCfg)
+    from crfr.data.synthetic import SyntheticFaces
+    from crfr.train.loop import Trainer
+
+    cfg = Config(
+        name="tiny-teacher",
+        mesh=MeshCfg(data=8, model=1),
+        data=DataCfg(image_size=32, num_classes=4, degrade_min=8,
+                     degrade_max=16),
+        model=ModelCfg(backbone="ir_18", compute_dtype="float32",
+                       dropout=0.0, input_size=32),
+        loss=LossCfg(scale=16.0, margin=0.2),
+        train=TrainCfg(batch_size=16, lr=0.05, warmup_steps=5,
+                       log_every=10 ** 9),
+    )
+    tr = Trainer(cfg, steps_per_epoch=100)
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    for imgs, labels in data.batches(16, 25, seed=1):
+        tr.train_step(imgs, labels)
+    return tr

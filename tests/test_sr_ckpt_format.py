@@ -102,20 +102,18 @@ def test_sr_robustness_knobs_smoke():
     assert np.isfinite(float(jax.device_get(m["d_loss"])))
 
 
-def test_distill_optimizer_matches_trainer_chain():
+def test_distill_optimizer_matches_trainer_chain(tiny_teacher):
     """DistillTrainer regularizes exactly like Trainer (VERDICT r2 weak #3):
     masked weight decay reaches conv kernels and the head W but NOT BN/bias,
     and grad clipping is in the chain."""
     from flax import nnx
     from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
-    from crfr.train.loop import Trainer
 
     cfg = _cfg().override(**{"train.weight_decay": 0.1,
                              "train.grad_clip_norm": 1.0,
                              "train.warmup_steps": 0,   # lr(0) must be ≠ 0
                              "loss.distill_weight": 1.0})
-    teacher = Trainer(_cfg(), steps_per_epoch=10)
-    st = DistillTrainer(cfg, teacher_from_trainer(teacher),
+    st = DistillTrainer(cfg, teacher_from_trainer(tiny_teacher),
                         steps_per_epoch=10)
     student = nnx.merge(st.graphdef, st.state)
     params = nnx.state(student, nnx.Param)

@@ -59,16 +59,12 @@ def test_sr_trainer_learns(rng):
     assert 0.0 <= float(sr.min()) and float(sr.max()) <= 255.0
 
 
-def test_distill_student_tracks_teacher(rng):
+def test_distill_student_tracks_teacher(rng, tiny_teacher):
     from crfr.train.distill_loop import DistillTrainer
-    from crfr.train.loop import Trainer
     from crfr.train.distill_loop import teacher_from_trainer
 
-    cfg_t = _cfg(size=32)
+    teacher_tr = tiny_teacher        # session-shared 25-step teacher
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    teacher_tr = Trainer(cfg_t, steps_per_epoch=100)
-    for imgs, labels in data.batches(16, 25, seed=1):
-        teacher_tr.train_step(imgs, labels)
 
     cfg_s = _cfg(size=32, distill=1.0)
     # kd_normalize: a 25-step teacher has unconverged feature-BN stats, so
@@ -104,17 +100,14 @@ def test_distill_student_tracks_teacher(rng):
     assert d_res < d_plain, (d_res, d_plain)
 
 
-def test_joint_g_finetune_distill(rng):
+def test_joint_g_finetune_distill(rng, tiny_teacher):
     """sr_module mode: G trains JOINTLY with the student — its params move,
     the pixel anchor improves G's reconstruction, total loss decreases."""
     from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
-    from crfr.train.loop import Trainer
     from crfr.train.sr_loop import SRTrainer
 
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    teacher_tr = Trainer(_cfg(size=32), steps_per_epoch=100)
-    for imgs, labels in data.batches(16, 15, seed=1):
-        teacher_tr.train_step(imgs, labels)
+    teacher_tr = tiny_teacher        # session-shared 25-step teacher
 
     sr_tr = SRTrainer(_cfg(size=32), scale=4, n_priors=4)
     g0 = jax.tree_util.tree_map(jnp.copy, sr_tr.g_state)
@@ -179,17 +172,15 @@ def test_sr_perceptual_smoke():
     assert np.isfinite(float(jax.device_get(m["g_loss"])))
 
 
-def test_perceptual_gradient_reaches_generator(rng):
+def test_perceptual_gradient_reaches_generator(rng, tiny_teacher):
     """The perceptual term must produce a NONZERO generator gradient through
     the real teacher-feature taps (ADVICE r2: a stop_gradient in
     perceptual_from_trainer silently zeroed it)."""
     import optax
-    from crfr.train.loop import Trainer
     from crfr.train.sr_loop import SRTrainer, perceptual_from_trainer
 
     cfg = _cfg(size=32)
-    teacher_tr = Trainer(cfg, steps_per_epoch=100)   # init weights suffice
-    pf = perceptual_from_trainer(teacher_tr)
+    pf = perceptual_from_trainer(tiny_teacher)
     tr = SRTrainer(cfg, scale=4, n_priors=4, perceptual_fn=pf)
 
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
