@@ -727,6 +727,51 @@ def cmd_pack(args, extra) -> int:
     return 0
 
 
+def cmd_match(args, extra) -> int:
+    """Serving-side identification: probes (images via --ckpt, or an
+    embeddings .npy) against a gallery embedding bank → top-k identities
+    per probe, via the streaming/sharded gallery scan (no (N, M) buffer).
+    Pairs with `crfr extract` for bank building."""
+    import numpy as np
+
+    from crfr.eval.identification import topk_matches
+
+    g = np.load(args.gallery_npy)
+    glab = (np.load(args.gallery_labels_npy)
+            if args.gallery_labels_npy else np.arange(len(g)))
+    if args.probe_npy:
+        p = np.load(args.probe_npy)
+        cfg = _load_cfg(args, extra)
+        mesh = _topk_mesh()
+    else:
+        assert args.ckpt and args.list, \
+            "need --probe-npy, or --ckpt + --list of probe images"
+        from crfr.eval.extract import extract_embeddings, make_extract_fn
+
+        tr, cfg = _embed_fn_from_ckpt(args, extra)
+        paths = [os.path.join(args.root, ln.split()[0])
+                 for ln in open(args.list) if ln.split()]
+        sr_apply = _sr_apply_if_requested(args, cfg)
+        degrade = args.degrade or cfg.data.eval_degrade_size
+        if sr_apply is not None and not degrade:
+            degrade = cfg.model.input_size // args.sr_scale
+        fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+                             degrade_to=degrade or None, sr_apply=sr_apply,
+                             resize_mode=cfg.data.resize_mode,
+                             flip_fusion=cfg.eval.flip_fusion,
+                             image_size=cfg.model.input_size)
+        p = extract_embeddings(paths, fn, cfg.eval.batch_size,
+                               cfg.model.input_size)
+        mesh = _topk_mesh(tr)
+    scores, labels = topk_matches(p, g, glab, k=args.k,
+                                  block=cfg.eval.gallery_block, mesh=mesh)
+    out = [{"labels": labels[i].tolist(),
+            "scores": [round(float(s), 4) for s in scores[i]]}
+           for i in range(len(labels))]
+    print(json.dumps({"matches": out, "k": args.k, "gallery": len(g)}))
+    return 0
+
+
 def cmd_bench(args, extra) -> int:
     from crfr.bench.throughput import run_throughput
 
@@ -912,6 +957,23 @@ def main(argv=None) -> int:
     p.add_argument("--idx", default="",
                    help=".idx path (default: alongside --from-rec)")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("match")
+    p.add_argument("--gallery-npy", required=True,
+                   help="gallery embedding bank .npy (e.g. from `crfr "
+                        "extract`)")
+    p.add_argument("--gallery-labels-npy", default="",
+                   help="gallery labels .npy (default: row index)")
+    p.add_argument("--probe-npy", default="",
+                   help="probe embeddings .npy (skips --ckpt)")
+    p.add_argument("--ckpt", default="", help="embed probe images instead")
+    p.add_argument("--list", default="", help="probe image list file")
+    p.add_argument("--root", default="")
+    p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--k", type=int, default=5)
+    _add_sr_args(p, "route probe images through the hallucinator")
+    p.add_argument("--preset", default="casia_arcface")
+    p.set_defaults(fn=cmd_match)
 
     p = sub.add_parser("bench")
     p.add_argument("--batch", type=int, default=256)

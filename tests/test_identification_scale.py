@@ -164,6 +164,25 @@ def test_cli_openset_200k_gallery(tmp_path, capsys, rng):
     assert out["cmc"][-1] >= out["rank1"]
 
 
+def test_cli_match_npy(tmp_path, capsys, rng):
+    """`crfr match`: top-k identities per probe from an embedding bank."""
+    glabels = np.arange(100)
+    g = _embs(rng, glabels, dim=128, noise=0.02)
+    p = _embs(rng, np.array([7, 42, 99]), dim=128, noise=0.05)
+    np.save(tmp_path / "g.npy", g)
+    np.save(tmp_path / "gl.npy", glabels)
+    np.save(tmp_path / "p.npy", p)
+    rc, out = _run_cli(
+        ["match", "--gallery-npy", str(tmp_path / "g.npy"),
+         "--gallery-labels-npy", str(tmp_path / "gl.npy"),
+         "--probe-npy", str(tmp_path / "p.npy"), "--k", "3"], capsys)
+    assert rc == 0
+    assert out["gallery"] == 100 and out["k"] == 3
+    assert [m["labels"][0] for m in out["matches"]] == [7, 42, 99]
+    for m in out["matches"]:
+        assert m["scores"] == sorted(m["scores"], reverse=True)
+
+
 def test_cli_ijbc_npy_templates(tmp_path, capsys, rng):
     """eval-ijbc precomputed-template mode (1:N, G1/G2 averaging)."""
     subjects = np.arange(50)
