@@ -59,29 +59,41 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def tiny_teacher():
-    """ir_18@32 Trainer trained 25 steps on the 4-class synthetic set —
-    session-shared by the distill/SR tests (suite-time: each used to train
-    its own). Consumers only READ the state (teacher_from_trainer /
-    embed_fn close over it); never train_step this fixture."""
+def trained_session():
+    """(cfg, data, trainer, losses): ir_18@32 trained 30 steps on the
+    4-class synthetic set — THE session-shared trained model (SURVEY §4
+    tier 2). One fixture serves both test_train's learning asserts and the
+    frozen teacher for the distill/SR tests (suite-time: these used to
+    train three separate models). Consumers only READ the trainer state
+    (teacher_from_trainer / embed_fn close over it); never train_step it."""
     from crfr.configs import (Config, DataCfg, LossCfg, MeshCfg, ModelCfg,
                               TrainCfg)
     from crfr.data.synthetic import SyntheticFaces
     from crfr.train.loop import Trainer
 
     cfg = Config(
-        name="tiny-teacher",
+        name="tiny-test",
         mesh=MeshCfg(data=8, model=1),
         data=DataCfg(image_size=32, num_classes=4, degrade_min=8,
-                     degrade_max=16),
+                     degrade_max=32),
         model=ModelCfg(backbone="ir_18", compute_dtype="float32",
                        dropout=0.0, input_size=32),
         loss=LossCfg(scale=16.0, margin=0.2),
         train=TrainCfg(batch_size=16, lr=0.05, warmup_steps=5,
-                       log_every=10 ** 9),
+                       weight_decay=5e-4, log_every=10 ** 9, seed=0),
     )
+    import jax as _jax
+
     tr = Trainer(cfg, steps_per_epoch=100)
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    for imgs, labels in data.batches(16, 25, seed=1):
-        tr.train_step(imgs, labels)
-    return tr
+    losses = []
+    for imgs, labels in data.batches(16, 30, seed=1):
+        m = tr.train_step(imgs, labels)
+        losses.append(float(_jax.device_get(m["loss"])))
+    return cfg, data, tr, losses
+
+
+@pytest.fixture(scope="session")
+def tiny_teacher(trained_session):
+    """The session-shared trained Trainer (teacher role). Read-only."""
+    return trained_session[2]

@@ -63,18 +63,18 @@ def test_distill_student_tracks_teacher(rng, tiny_teacher):
     from crfr.train.distill_loop import DistillTrainer
     from crfr.train.distill_loop import teacher_from_trainer
 
-    teacher_tr = tiny_teacher        # session-shared 25-step teacher
+    teacher_tr = tiny_teacher        # session-shared trained teacher
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
 
     cfg_s = _cfg(size=32, distill=1.0)
-    # kd_normalize: a 25-step teacher has unconverged feature-BN stats, so
+    # kd_normalize: a 30-step teacher has unconverged feature-BN stats, so
     # raw-feature magnitudes (~1e3/dim) dwarf what the BN-bounded residual
-    # can express in 30 steps; the normalized (directional) KD is the
+    # can express in 20 steps; the normalized (directional) KD is the
     # meaningful short-horizon test of the mechanism.
     st = DistillTrainer(cfg_s, teacher_from_trainer(teacher_tr),
                         steps_per_epoch=100, kd_normalize=True)
     kds, losses = [], []
-    for imgs, labels in data.batches(16, 30, seed=2):
+    for imgs, labels in data.batches(16, 20, seed=2):
         m = st.train_step(imgs, labels)
         kds.append(float(jax.device_get(m["kd"])))
         losses.append(float(jax.device_get(m["loss"])))
@@ -100,6 +100,35 @@ def test_distill_student_tracks_teacher(rng, tiny_teacher):
     assert d_res < d_plain, (d_res, d_plain)
 
 
+def test_joint_g_smoke(rng, tiny_teacher):
+    """Fast sr_module-mode smoke: the joint step runs, stays finite, G's
+    params move, and the fine-tuned G checkpoints/plugs back in. The
+    longer-horizon loss/pixel-anchor assertions live in the slow
+    test_joint_g_finetune_distill."""
+    from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
+    from crfr.train.sr_loop import SRTrainer
+
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    sr_tr = SRTrainer(_cfg(size=32), scale=4, n_priors=4)
+    g0 = jax.tree_util.tree_map(jnp.copy, sr_tr.g_state)
+
+    st = DistillTrainer(_cfg(size=32, distill=1.0),
+                        teacher_from_trainer(tiny_teacher),
+                        steps_per_epoch=100, kd_normalize=True,
+                        sr_module=(sr_tr.g_graphdef, sr_tr.g_state),
+                        sr_scale=4, sr_lr=1e-4, sr_pixel_weight=10.0)
+    for imgs, labels in data.batches(16, 4, seed=2):
+        m = st.train_step(imgs, labels)
+        assert np.isfinite(float(jax.device_get(m["loss"])))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, st.g_state)
+    assert max(jax.tree_util.tree_leaves(moved)) > 1e-6
+    sd = st.state_dict()
+    assert "g_state" in sd
+    assert st.sr_apply()(jnp.zeros((2, 8, 8, 3))).shape == (2, 32, 32, 3)
+
+
+@pytest.mark.slow
 def test_joint_g_finetune_distill(rng, tiny_teacher):
     """sr_module mode: G trains JOINTLY with the student — its params move,
     the pixel anchor improves G's reconstruction, total loss decreases."""
@@ -107,7 +136,7 @@ def test_joint_g_finetune_distill(rng, tiny_teacher):
     from crfr.train.sr_loop import SRTrainer
 
     data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    teacher_tr = tiny_teacher        # session-shared 25-step teacher
+    teacher_tr = tiny_teacher        # session-shared trained teacher
 
     sr_tr = SRTrainer(_cfg(size=32), scale=4, n_priors=4)
     g0 = jax.tree_util.tree_map(jnp.copy, sr_tr.g_state)

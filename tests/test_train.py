@@ -29,16 +29,10 @@ def _tiny_cfg(mesh=MeshCfg(data=8, model=1), num_classes=4, size=32):
     )
 
 
-@pytest.fixture(scope="module")
-def trained():
-    cfg = _tiny_cfg()
-    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
-    tr = Trainer(cfg, steps_per_epoch=100)
-    losses = []
-    for imgs, labels in data.batches(16, 60, seed=1):
-        m = tr.train_step(imgs, labels)
-        losses.append(float(jax.device_get(m["loss"])))
-    return cfg, data, tr, losses
+@pytest.fixture
+def trained(trained_session):
+    """Session-shared trained model (conftest) — (cfg, data, tr, losses)."""
+    return trained_session
 
 
 def test_loss_decreases(trained):
