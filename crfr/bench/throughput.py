@@ -36,10 +36,28 @@ class BenchResult:
 
 def build_embed_pipeline(backbone_name: str = "ir_50", degrade_to: int = 16,
                          image_size: int = 112, mode: str = "pil",
-                         dtype=jnp.bfloat16):
-    """→ jitted fn(raw uint8/f32 NHWC batch) → (B, 512) f32 embeddings."""
+                         dtype=jnp.bfloat16, int8: bool = False):
+    """→ jitted fn(raw uint8/f32 NHWC batch) → (B, 512) f32 embeddings.
+
+    ``int8=True`` swaps the conv stack for the PTQ path (models/quant.py):
+    s8×s8→s32 MXU convs, calibrated here on degraded noise batches —
+    scale calibration only affects accuracy, not speed, so noise is fine
+    for the throughput measurement."""
     model = build_backbone(backbone_name, input_size=image_size,
                            rngs=nnx.Rngs(0), dtype=dtype)
+    if int8:
+        from crfr.models.quant import quantize_backbone
+
+        wq = jnp.asarray(degrade_matrix(image_size, degrade_to, mode))
+        rng = np.random.default_rng(0)
+        calib = []
+        for _ in range(2):
+            raw = jnp.asarray(
+                rng.integers(0, 256, (32, image_size, image_size, 3)),
+                jnp.float32)
+            x = jnp.einsum("oi,bijc,pj->bopc", wq, raw, wq)
+            calib.append(np.asarray((x - MEAN) / STD, np.float32))
+        model = quantize_backbone(model, calib)
     graphdef, state = nnx.split(model)
     w = jnp.asarray(degrade_matrix(image_size, degrade_to, mode))
     # bf16 degrade operator: the backbone consumes bf16 anyway and the
@@ -145,8 +163,8 @@ def run_fit_throughput(batch: int = 256, steps: int = 20,
 
 def run_throughput(batch: int = 256, steps: int = 30, repeats: int = 3,
                    backbone: str = "ir_50", degrade_to: int = 16,
-                   image_size: int = 112) -> BenchResult:
-    embed = build_embed_pipeline(backbone, degrade_to, image_size)
+                   image_size: int = 112, int8: bool = False) -> BenchResult:
+    embed = build_embed_pipeline(backbone, degrade_to, image_size, int8=int8)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 256, (batch, image_size, image_size, 3)),
                     jnp.float32)

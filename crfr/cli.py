@@ -354,6 +354,48 @@ def _sr_apply_if_requested(args, cfg):
                                                    1)))
 
 
+def _backbone_apply(tr, cfg, args, sample_paths=()):
+    """Float (default) or --int8 PTQ backbone apply for the serving-side
+    commands (extract / match / export). int8 runs the s8×s8→s32 MXU conv
+    path (models/quant.py; 1.6× measured on-chip vs bf16), calibrated on up
+    to two batches of the run's OWN inputs pushed through the same
+    degrade+normalize front end — or degraded noise when the command has no
+    images (export without a --calib-list)."""
+    if not getattr(args, "int8", False):
+        return lambda x: tr.model.backbone(x, train=False)
+    import numpy as np
+    import jax.numpy as jnp
+    from crfr.models.quant import quantize_backbone
+    from crfr.ops.bicubic import degrade_matrix
+    from crfr.ops.normalize import normalize
+
+    size = cfg.model.input_size
+    degrade = getattr(args, "degrade", 0) or cfg.data.eval_degrade_size
+    w = (jnp.asarray(degrade_matrix(size, degrade, cfg.data.resize_mode))
+         if degrade else None)
+
+    def prep(raw):
+        x = jnp.asarray(raw, jnp.float32)
+        if w is not None:
+            x = jnp.einsum("oi,bijc,pj->bopc", w, x, w)
+        return np.asarray(normalize(x), np.float32)
+
+    calib = []
+    if sample_paths:
+        from crfr.data.pipeline import embed_batches
+        n = min(len(sample_paths), 2 * cfg.eval.batch_size)
+        for imgs, _ in embed_batches(list(sample_paths)[:n],
+                                     cfg.eval.batch_size, size):
+            calib.append(prep(imgs))
+            if len(calib) >= 2:
+                break
+    else:
+        rng = np.random.default_rng(0)
+        calib = [prep(rng.integers(0, 256, (32, size, size, 3)))]
+    qbb = quantize_backbone(tr.model.backbone, calib)
+    return lambda x: qbb(x, train=False)
+
+
 def _embed_fn_from_ckpt(args, extra):
     """Rebuild a Trainer from config+checkpoint → jitted raw-pixel embed."""
     import jax
@@ -678,7 +720,7 @@ def cmd_extract(args, extra) -> int:
                 continue
             paths.append(os.path.join(args.root, parts[0]))
             labels.append(int(parts[1]) if len(parts) > 1 else -1)
-    fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+    fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths),
                          degrade_to=args.degrade or None,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion,
@@ -706,7 +748,9 @@ def cmd_export(args, extra) -> int:
         degrade = cfg.model.input_size // args.sr_scale
     meta = export_embed(tr, args.out, batch=args.batch,
                         degrade_to=degrade or None,
-                        flip_tta=args.flip_tta, sr_apply=sr_apply)
+                        flip_tta=args.flip_tta, sr_apply=sr_apply,
+                        backbone_apply=_backbone_apply(tr, cfg, args),
+                        quantized=bool(args.int8))
     print(json.dumps(meta | {"out": args.out}))
     return 0
 
@@ -755,7 +799,7 @@ def cmd_match(args, extra) -> int:
         degrade = args.degrade or cfg.data.eval_degrade_size
         if sr_apply is not None and not degrade:
             degrade = cfg.model.input_size // args.sr_scale
-        fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
+        fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths),
                              degrade_to=degrade or None, sr_apply=sr_apply,
                              resize_mode=cfg.data.resize_mode,
                              flip_fusion=cfg.eval.flip_fusion,
@@ -775,9 +819,11 @@ def cmd_match(args, extra) -> int:
 def cmd_bench(args, extra) -> int:
     from crfr.bench.throughput import run_throughput
 
-    res = run_throughput(batch=args.batch, steps=args.steps)
+    res = run_throughput(batch=args.batch, steps=args.steps,
+                         int8=bool(args.int8))
     print(json.dumps({"imgs_per_sec": res.imgs_per_sec,
-                      "per_batch_ms": res.per_batch_ms}))
+                      "per_batch_ms": res.per_batch_ms,
+                      "int8": bool(args.int8)}))
     return 0
 
 
@@ -934,6 +980,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--root", default="")
     p.add_argument("--degrade", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="serve through the int8 PTQ conv path "
+                        "(models/quant.py), calibrated on this run's inputs")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_extract)
 
@@ -943,6 +992,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--flip-tta", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="export the int8 PTQ backbone (noise-calibrated "
+                        "unless the artifact is re-exported with real data)")
     _add_sr_args(p, "bake a frozen hallucinator in front of the backbone")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_export)
@@ -971,6 +1023,8 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="")
     p.add_argument("--degrade", type=int, default=0)
     p.add_argument("--k", type=int, default=5)
+    p.add_argument("--int8", action="store_true",
+                   help="embed probes through the int8 PTQ path")
     _add_sr_args(p, "route probe images through the hallucinator")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_match)
@@ -978,6 +1032,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--int8", action="store_true",
+                   help="bench the int8 PTQ embed path instead of bf16")
     p.set_defaults(fn=cmd_bench)
 
     args, extra = ap.parse_known_args(argv)

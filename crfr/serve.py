@@ -66,15 +66,22 @@ def build_serving_fn(backbone_apply: Callable, degrade_to: int | None = None,
 
 def export_embed(trainer, path: str, batch: int = 256,
                  degrade_to: int | None = None, flip_tta: bool = False,
-                 input_dtype=jnp.uint8, sr_apply: Callable | None = None
-                 ) -> dict:
+                 input_dtype=jnp.uint8, sr_apply: Callable | None = None,
+                 backbone_apply: Callable | None = None,
+                 quantized: bool = False) -> dict:
     """Export a Trainer's backbone (optionally behind a frozen hallucinator)
-    as a serialized serving artifact."""
+    as a serialized serving artifact.
+
+    ``backbone_apply`` overrides the float backbone — the int8 PTQ path
+    (models/quant.py, 1.6× measured on-chip) exports through here; pass
+    ``quantized=True`` so the artifact metadata records it."""
     cfg = trainer.cfg
     size = cfg.model.input_size
     model = trainer.model
 
-    fn = build_serving_fn(lambda x: model.backbone(x, train=False),
+    if backbone_apply is None:
+        backbone_apply = lambda x: model.backbone(x, train=False)  # noqa: E731
+    fn = build_serving_fn(backbone_apply,
                           degrade_to=degrade_to,
                           resize_mode=cfg.data.resize_mode,
                           flip_tta=flip_tta, image_size=size,
@@ -87,6 +94,7 @@ def export_embed(trainer, path: str, batch: int = 256,
         "embedding_dim": cfg.model.embedding_dim,
         "degrade_to": degrade_to, "flip_tta": flip_tta,
         "hallucinated": sr_apply is not None,
+        "int8": quantized,
         "input_dtype": str(np.dtype(input_dtype)),
         "platforms": list(exported.platforms),
         "backbone": cfg.model.backbone,
