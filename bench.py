@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--backbone", default="ir_50")
     ap.add_argument("--skip-cpu-baseline", action="store_true")
+    ap.add_argument("--skip-int8", action="store_true",
+                    help="skip the auxiliary int8 PTQ measurement")
     ap.add_argument("--remeasure-cpu", action="store_true",
                     help="re-measure the torch-CPU reference (quiet host "
                          "only) and update BENCH_CPU_REF.json")
@@ -66,6 +68,17 @@ def main() -> None:
     res = run_throughput(batch=args.batch, steps=args.steps,
                          backbone=args.backbone)
 
+    # Auxiliary int8 PTQ serving number (models/quant.py). The HEADLINE
+    # metric stays bf16 so rounds remain comparable by construction; int8
+    # is the production-serving extra (1.57× measured r3).
+    int8_res = None
+    if not args.skip_int8:
+        try:
+            int8_res = run_throughput(batch=args.batch, steps=args.steps,
+                                      backbone=args.backbone, int8=True)
+        except Exception as e:  # aux must never sink the headline
+            print(f"# int8 aux bench failed: {e!r}", file=sys.stderr)
+
     if args.skip_cpu_baseline:
         cpu_ips, cpu_src = None, "skipped"
     else:
@@ -81,6 +94,8 @@ def main() -> None:
         "compile_seconds": round(res.compile_seconds, 1),
         "cpu_ref_imgs_per_sec": cpu_ips and round(cpu_ips, 2),
         "cpu_ref_source": cpu_src,
+        "int8_imgs_per_sec": (int8_res and round(int8_res.imgs_per_sec, 1)),
+        "int8_per_batch_ms": (int8_res and round(int8_res.per_batch_ms, 2)),
     }
     print(json.dumps(out))
     print(f"# batch={res.batch} steps={res.steps} "
