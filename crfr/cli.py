@@ -354,6 +354,23 @@ def _sr_apply_if_requested(args, cfg):
                                                    1)))
 
 
+def _load_gallery(path: str, labels_path: str = ""):
+    """Load a gallery for the identification paths: float ``.npy`` matrix
+    or an int8 ``.npz`` QuantBank (from ``crfr extract --quantize-bank``).
+    Returns (gallery, labels) where gallery feeds ``topk_matches``
+    directly; labels default to the bank's stored labels / the row index."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        from crfr.eval.bank import load_bank
+        bank = load_bank(path)
+        lab = np.load(labels_path) if labels_path else bank.labels
+        return bank, lab
+    g = np.load(path)
+    lab = np.load(labels_path) if labels_path else np.arange(len(g))
+    return g, lab
+
+
 def _backbone_apply(tr, cfg, args, sample_paths=()):
     """Float (default) or --int8 PTQ backbone apply for the serving-side
     commands (extract / match / export). int8 runs the s8×s8→s32 MXU conv
@@ -510,11 +527,11 @@ def cmd_eval_openset(args, extra) -> int:
     from crfr.eval.identification import open_set_identification
 
     if args.probe_npy:
-        for need in ("gallery_npy", "gallery_labels_npy", "probe_labels_npy",
-                     "mated_npy"):
+        for need in ("gallery_npy", "probe_labels_npy", "mated_npy"):
             assert getattr(args, need), f"--probe-npy mode needs --{need.replace('_', '-')}"
-        g = np.load(args.gallery_npy)
-        glab = np.load(args.gallery_labels_npy)
+        assert args.gallery_labels_npy or args.gallery_npy.endswith(".npz"), \
+            "--probe-npy mode needs --gallery-labels-npy (or a .npz bank)"
+        g, glab = _load_gallery(args.gallery_npy, args.gallery_labels_npy)
         p = np.load(args.probe_npy)
         plab = np.load(args.probe_labels_npy)
         mated = np.load(args.mated_npy).astype(bool)
@@ -727,6 +744,15 @@ def cmd_extract(args, extra) -> int:
                          image_size=cfg.model.input_size)
     embs = extract_embeddings(paths, fn, cfg.eval.batch_size,
                               cfg.model.input_size)
+    if args.quantize_bank:
+        from crfr.eval.bank import quantize_bank, save_bank
+        out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+        lab = (np.asarray(labels) if any(l >= 0 for l in labels) else None)
+        save_bank(out, quantize_bank(embs, lab))
+        print(json.dumps({"out": out, "count": len(paths),
+                          "dim": int(embs.shape[1]) if len(embs) else 0,
+                          "quantized_bank": True}))
+        return 0
     np.save(args.out, embs)
     if any(l >= 0 for l in labels):
         np.save(args.out.replace(".npy", "") + "_labels.npy",
@@ -780,9 +806,7 @@ def cmd_match(args, extra) -> int:
 
     from crfr.eval.identification import topk_matches
 
-    g = np.load(args.gallery_npy)
-    glab = (np.load(args.gallery_labels_npy)
-            if args.gallery_labels_npy else np.arange(len(g)))
+    g, glab = _load_gallery(args.gallery_npy, args.gallery_labels_npy)
     if args.probe_npy:
         p = np.load(args.probe_npy)
         cfg = _load_cfg(args, extra)
@@ -983,6 +1007,9 @@ def main(argv=None) -> int:
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 PTQ conv path "
                         "(models/quant.py), calibrated on this run's inputs")
+    p.add_argument("--quantize-bank", action="store_true",
+                   help="write an int8 .npz embedding bank (eval/bank.py: "
+                        "4x smaller, s8 MXU scoring) instead of float .npy")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_extract)
 
@@ -1012,8 +1039,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("match")
     p.add_argument("--gallery-npy", required=True,
-                   help="gallery embedding bank .npy (e.g. from `crfr "
-                        "extract`)")
+                   help="gallery embedding bank: float .npy or int8 .npz "
+                        "(from `crfr extract [--quantize-bank]`)")
     p.add_argument("--gallery-labels-npy", default="",
                    help="gallery labels .npy (default: row index)")
     p.add_argument("--probe-npy", default="",

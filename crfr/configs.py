@@ -130,7 +130,9 @@ class EvalCfg:
     far_targets: tuple[float, ...] = (1e-3, 1e-2)
     fpir_targets: tuple[float, ...] = (1e-2, 1e-1)   # open-set TPIR@FPIR
     batch_size: int = 512
-    gallery_block: int = 4096              # blockwise sharded P·Gᵀ tile
+    gallery_block: int = 0                 # blockwise P·Gᵀ tile; 0 = auto
+                                           # (sized from probe count, see
+                                           # eval.identification.topk_matches)
 
 
 @dataclass(frozen=True)

@@ -8,3 +8,9 @@ from crfr.eval.identification import (  # noqa: F401
     closed_set_identification,
     open_set_identification,
 )
+from crfr.eval.bank import (  # noqa: F401
+    QuantBank,
+    load_bank,
+    quantize_bank,
+    save_bank,
+)

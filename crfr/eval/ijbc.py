@@ -153,7 +153,7 @@ def pool_meta(image_embs, template_ids, media_ids, subject_ids
 def ijbc_1n_two_gallery(probe_embs, probe_subjects,
                         g1_embs, g1_subjects, g2_embs, g2_subjects,
                         fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
-                        mesh=None, block: int = 4096
+                        mesh=None, block: int = 0
                         ) -> tuple[IJBCResult, IJBCResult, IJBCResult]:
     """Standard IJB-C 1:N: evaluate the probe set against EACH of the two
     disjoint gallery splits (G1/G2) and average — the convention the
@@ -173,7 +173,7 @@ def ijbc_1n_two_gallery(probe_embs, probe_subjects,
 
 def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
             fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
-            mesh=None, block: int = 4096) -> IJBCResult:
+            mesh=None, block: int = 0) -> IJBCResult:
     """1:N from POOLED template embeddings (run pool_templates first).
     Open-set TPIR@FPIR counts probes whose subject is absent from the
     gallery as unmated. Gallery streams in blocks (sharded over ``mesh``
