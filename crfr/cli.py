@@ -840,6 +840,29 @@ def cmd_match(args, extra) -> int:
     return 0
 
 
+def cmd_serve_http(args, extra) -> int:
+    """HTTP inference daemon on an AOT artifact (serve_http.py):
+    /healthz, /embed (.npy in/out, request coalescing), /match (top-k
+    against an int8 .npz gallery bank)."""
+    from crfr.serve_http import serve_artifact
+
+    srv = serve_artifact(args.artifact, gallery_npz=args.gallery_npz,
+                         host=args.host, port=args.port,
+                         window_ms=args.window_ms)
+    host, port = srv.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "artifact": args.artifact,
+                      "gallery": bool(args.gallery_npz)}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.service.close()
+        srv.server_close()
+    return 0
+
+
 def cmd_bench(args, extra) -> int:
     from crfr.bench.throughput import run_throughput
 
@@ -1055,6 +1078,18 @@ def main(argv=None) -> int:
     _add_sr_args(p, "route probe images through the hallucinator")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_match)
+
+    p = sub.add_parser("serve-http")
+    p.add_argument("--artifact", required=True,
+                   help="AOT artifact from `crfr export`")
+    p.add_argument("--gallery-npz", default="",
+                   help="int8 bank (`crfr extract --quantize-bank`) to "
+                        "enable /match")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--window-ms", type=float, default=2.0,
+                   help="request-coalescing window")
+    p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("bench")
     p.add_argument("--batch", type=int, default=256)
