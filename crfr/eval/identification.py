@@ -106,13 +106,20 @@ def _block_topk(sim: jax.Array, lblk: jax.Array, k: int, tile: int = 128
 
 def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
                    gallery_labels: jax.Array, k: int = 10,
-                   block: int = 4096):
+                   block: int = 4096, approx: bool = False):
     """Top-k gallery matches per probe WITHOUT materializing (N, M) sims.
 
     lax.scan over static gallery blocks; carries running (scores, labels)
     top-k per probe. Gallery is zero-padded to a block multiple; padding
     rows and rows with label < 0 score −inf. Returns (scores (N, k),
     labels (N, k)) sorted desc.
+
+    ``approx=True`` swaps the exact hierarchical block selection for the
+    TPU-native binned ``lax.approx_max_k`` (PartialReduce): measured
+    1.9× faster per 1M-row scan on v5e at recall@10 ≈ 0.998 / exact
+    top-1 even on worst-case random vectors (BASELINE.md §serving);
+    returned scores are still the exact similarities of the selected
+    rows. Use for serving; eval protocols default to exact.
     """
     p = _normalized(probe_emb)                             # (N, D)
     g = _normalized(gallery_emb)                           # (M, D)
@@ -136,7 +143,11 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
                       precision=jax.lax.Precision.HIGHEST)  # (N, block)
         ok = vblk & (lblk >= 0)            # mask padding / sentinel rows
         sim = jnp.where(ok[None, :], sim, -jnp.inf)
-        blk_s, blk_l = _block_topk(sim, lblk, k)
+        if approx and sim.shape[1] > k:
+            blk_s, bi = jax.lax.approx_max_k(sim, k)
+            blk_l = lblk[bi]
+        else:
+            blk_s, blk_l = _block_topk(sim, lblk, k)
         cat_s = jnp.concatenate([top_s, blk_s], axis=1)     # (N, 2k)
         cat_l = jnp.concatenate([top_l, blk_l], axis=1)
         new_s, idx = jax.lax.top_k(cat_s, k)
@@ -147,7 +158,8 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
     return scores, labels
 
 
-def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096):
+def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096,
+                 approx: bool = False):
     """Build a mesh-sharded top-k: gallery rows sharded over the WHOLE mesh,
     probes replicated; per-shard streaming top-k then a k·n_shards merge.
 
@@ -158,7 +170,8 @@ def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096):
     axes = tuple(mesh.axis_names)
 
     def body(p, g, lbl):
-        s, l = streaming_topk(p, g, lbl, k=k, block=block)   # local shard
+        s, l = streaming_topk(p, g, lbl, k=k, block=block,
+                              approx=approx)                 # local shard
         # Gather the k candidates from every shard and reduce. k·shards per
         # probe — tiny; rides ICI.
         all_s = s
@@ -178,9 +191,9 @@ def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
-def _streaming_topk_jit(p, g, lbl, k: int, block: int):
-    return streaming_topk(p, g, lbl, k=k, block=block)
+@partial(jax.jit, static_argnames=("k", "block", "approx"))
+def _streaming_topk_jit(p, g, lbl, k: int, block: int, approx: bool = False):
+    return streaming_topk(p, g, lbl, k=k, block=block, approx=approx)
 
 
 def _auto_block(block: int, n_probes: int) -> int:
@@ -193,7 +206,8 @@ def _auto_block(block: int, n_probes: int) -> int:
 
 
 def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
-                 block: int = 0, mesh: Mesh | None = None
+                 block: int = 0, mesh: Mesh | None = None,
+                 approx: bool = False
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Per-probe top-k (scores, labels) against an arbitrarily large gallery.
 
@@ -206,6 +220,10 @@ def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
     banks from ``crfr extract --quantize-bank``): scoring then runs the
     s8×s8→s32 quantized scan with identical dispatch and contract;
     ``gallery_labels`` (if not None) overrides the bank's stored labels.
+
+    ``approx=True``: binned ``lax.approx_max_k`` block selection — the
+    serving fast path (see ``streaming_topk``); exact scores for the
+    selected rows, recall@10 ≈ 0.998 measured worst-case.
     """
     from crfr.eval.bank import QuantBank, topk_matches_bank
 
@@ -214,7 +232,8 @@ def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
         if gallery_labels is not None:
             b = QuantBank(b.q, b.scale,
                           np.asarray(gallery_labels, np.int64))
-        return topk_matches_bank(probe_emb, b, k=k, block=block, mesh=mesh)
+        return topk_matches_bank(probe_emb, b, k=k, block=block, mesh=mesh,
+                                 approx=approx)
     p = jnp.asarray(probe_emb)
     g = jnp.asarray(gallery_emb)
     lbl = jnp.asarray(np.asarray(gallery_labels))
@@ -226,10 +245,12 @@ def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
         if padm != m:
             g = jnp.pad(g, ((0, padm - m), (0, 0)))
             lbl = jnp.pad(lbl, (0, padm - m), constant_values=-1)
-        fn = jax.jit(sharded_topk(mesh, k=k, block=min(block, padm // n_dev)))
+        fn = jax.jit(sharded_topk(mesh, k=k, block=min(block, padm // n_dev),
+                                  approx=approx))
         s, l = fn(p, g, lbl)
     else:
-        s, l = _streaming_topk_jit(p, g, lbl, k, min(block, max(g.shape[0], 1)))
+        s, l = _streaming_topk_jit(p, g, lbl, k,
+                                   min(block, max(g.shape[0], 1)), approx)
     return np.asarray(s), np.asarray(l)
 
 

@@ -188,7 +188,9 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
                 if bank is None:
                     return self._fail(400, "no gallery bank loaded "
                                            "(start with --gallery-npz)")
-                k = int(parse_qs(parsed.query).get("k", [default_k])[0])
+                qs = parse_qs(parsed.query)
+                k = int(qs.get("k", [default_k])[0])
+                approx = qs.get("approx", ["0"])[0] not in ("0", "", "false")
                 try:
                     if arr.ndim == 4:            # raw pixels → embed first
                         want = np.dtype(meta.get("input_dtype", "uint8"))
@@ -197,7 +199,8 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
                         return self._fail(400, f"bad probe shape {arr.shape}")
                     from crfr.eval.bank import topk_matches_bank
                     scores, labels = topk_matches_bank(
-                        np.asarray(arr, np.float32), bank, k=k)
+                        np.asarray(arr, np.float32), bank, k=k,
+                        approx=approx)
                 except Exception as e:           # noqa: BLE001
                     return self._fail(500, str(e))
                 out = {"k": k, "gallery": len(bank),
@@ -223,6 +226,7 @@ def serve_artifact(artifact: str, gallery_npz: str = "",
     bank = None
     if gallery_npz:
         from crfr.eval.bank import load_bank
-        bank = load_bank(gallery_npz)
+        # device-resident: a host bank would re-upload H2D per request
+        bank = load_bank(gallery_npz).to_device()
     return make_server(fn, fn.meta, host=host, port=port, bank=bank,
                        window_ms=window_ms)

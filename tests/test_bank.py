@@ -87,6 +87,57 @@ def test_topk_matches_dispatches_bank(rng):
     np.testing.assert_array_equal(l_n, l_b)
 
 
+def test_approx_selection_parity(rng):
+    """approx=True (binned lax.approx_max_k block selection — the serving
+    fast path, 1.9× on v5e) returns the same labels/scores as the exact
+    hierarchical selection when score gaps are clear, through both the
+    float and quantized scans and the topk_matches dispatchers."""
+    p, g, glabels, order = _gapped(rng, 16, 120, dim=128)
+    sf, lf = streaming_topk(p, g, glabels, k=5, block=64, approx=True)
+    np.testing.assert_array_equal(np.asarray(lf), order)
+    bank = quantize_bank(g, glabels)
+    sq, lq = streaming_topk_q(p, bank.q, bank.scale, bank.labels,
+                              k=5, block=64, approx=True)
+    np.testing.assert_array_equal(np.asarray(lq), order)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(sf), atol=0.02)
+    # dispatchers thread approx; exact and approx agree here
+    s_a, l_a = topk_matches(p, g, glabels, k=5, block=64, approx=True)
+    s_e, l_e = topk_matches(p, g, glabels, k=5, block=64)
+    np.testing.assert_array_equal(l_a, l_e)
+    np.testing.assert_allclose(s_a, s_e, atol=1e-6)
+    s_b, l_b = topk_matches_bank(p, bank, k=5, block=64, approx=True)
+    np.testing.assert_array_equal(l_b, order)
+
+
+def test_cli_match_approx(tmp_path, capsys, rng):
+    """`crfr match --approx` produces the same top-1 as the exact scan."""
+    glabels = np.arange(80)
+    g = _embs(rng, glabels, dim=128, noise=0.02)
+    p = _embs(rng, np.array([3, 61]), dim=128, noise=0.05)
+    np.save(tmp_path / "g.npy", g)
+    np.save(tmp_path / "p.npy", p)
+    rc, out = _run_cli(
+        ["match", "--gallery-npy", str(tmp_path / "g.npy"),
+         "--probe-npy", str(tmp_path / "p.npy"), "--k", "3", "--approx"],
+        capsys)
+    assert rc == 0
+    assert [m["labels"][0] for m in out["matches"]] == [3, 61]
+
+
+def test_bank_to_device(rng):
+    """Device-resident bank (serving startup path) scores identically to
+    the host bank and supports len/dequantize."""
+    p, g, glabels, order = _gapped(rng, 8, 60, dim=64)
+    host = quantize_bank(g, glabels)
+    dev = host.to_device()
+    assert len(dev) == len(host)
+    np.testing.assert_allclose(dev.dequantize(), host.dequantize())
+    s_h, l_h = topk_matches_bank(p, host, k=3, block=16)
+    s_d, l_d = topk_matches_bank(p, dev, k=3, block=16, approx=True)
+    np.testing.assert_array_equal(l_d, l_h)
+    np.testing.assert_allclose(s_d, s_h, atol=1e-6)
+
+
 def test_bank_roundtrip(tmp_path, rng):
     g = rng.normal(0, 1, (37, 96)).astype(np.float32)
     labels = rng.integers(0, 10, 37)
