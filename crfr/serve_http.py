@@ -198,9 +198,18 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
                     if arr.ndim != 2:
                         return self._fail(400, f"bad probe shape {arr.shape}")
                     from crfr.eval.bank import topk_matches_bank
+                    # bucket (N, k) to powers of two (N≥32, k≥16): XLA
+                    # programs are static-shaped, so every novel probe
+                    # count would otherwise JIT a fresh scan per request
+                    p = np.asarray(arr, np.float32)
+                    n = p.shape[0]
+                    nb = 1 << max(5, (n - 1).bit_length())
+                    kb = 1 << max(4, (k - 1).bit_length())
+                    if nb != n:
+                        p = np.pad(p, ((0, nb - n), (0, 0)))
                     scores, labels = topk_matches_bank(
-                        np.asarray(arr, np.float32), bank, k=k,
-                        approx=approx)
+                        p, bank, k=kb, approx=approx)
+                    scores, labels = scores[:n, :k], labels[:n, :k]
                 except Exception as e:           # noqa: BLE001
                     return self._fail(500, str(e))
                 out = {"k": k, "gallery": len(bank),

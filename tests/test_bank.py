@@ -71,6 +71,11 @@ def test_sharded_bank_matches_streaming(rng):
     s_st, l_st = topk_matches_bank(p, bank, k=5, block=16)
     np.testing.assert_array_equal(l_sh, l_st)
     np.testing.assert_allclose(s_sh, s_st, atol=1e-5)
+    # approx selection inside the shard_map body
+    s_ap, l_ap = topk_matches_bank(p, bank, k=5, block=16, mesh=mesh,
+                                   approx=True)
+    np.testing.assert_array_equal(l_ap, l_st)
+    np.testing.assert_allclose(s_ap, s_st, atol=1e-5)
 
 
 def test_topk_matches_dispatches_bank(rng):

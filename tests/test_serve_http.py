@@ -161,6 +161,21 @@ def test_http_match_finds_gallery_row(http_server):
     assert [m["labels"][0] for m in out["matches"]] == [107, 131]
 
 
+def test_http_match_bucketing_and_approx(http_server):
+    """Varying probe counts / k are padded to (N≥32, k≥16) buckets (one
+    compiled scan program per bucket, not per request shape); approx=1
+    routes through approx_max_k selection. Results unchanged."""
+    url, call, meta, bank, gal = http_server
+    for probes, k, want in ((gal[[5]], 2, [105]),
+                            (gal[[9, 11, 40]], 4, [109, 111, 140])):
+        status, body, _ = _post(url + f"/match?k={k}&approx=1", _npy(probes))
+        assert status == 200
+        out = json.loads(body)
+        assert out["k"] == k
+        assert [m["labels"][0] for m in out["matches"]] == want
+        assert all(len(m["labels"]) == k for m in out["matches"])
+
+
 def test_http_error_paths(http_server):
     url, *_ = http_server
     # bad body
