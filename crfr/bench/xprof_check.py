@@ -50,6 +50,50 @@ def trace_embed(batch: int = 256, steps: int = 10, backbone: str = "ir_50",
     return paths, ms_per_batch
 
 
+def trace_train(batch: int = 256, steps: int = 10, backbone: str = "ir_50",
+                num_classes: int = 10572, image_size: int = 112,
+                outdir: str | None = None) -> tuple[list[str], float]:
+    """Run the TRAIN step (fwd+bwd+degrade-aug+ArcFace-CE+SGD, donated
+    state, device-resident batch) under the profiler; → (paths, ms/step).
+
+    Mirrors ``throughput.run_train_throughput`` so the traced program is
+    exactly the step the soak/step-only benches time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crfr.configs import Config, DataCfg, ModelCfg, TrainCfg
+    from crfr.parallel.mesh import batch_sharding
+    from crfr.train.loop import Trainer
+
+    outdir = outdir or tempfile.mkdtemp(prefix="crfr_xprof_train_")
+    cfg = Config(
+        name="xprof-train",
+        data=DataCfg(image_size=image_size, num_classes=num_classes),
+        model=ModelCfg(backbone=backbone, input_size=image_size),
+        train=TrainCfg(batch_size=batch, warmup_steps=0, log_every=10 ** 9),
+    )
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(
+        jnp.asarray(rng.integers(0, 256, (batch, image_size, image_size, 3)),
+                    jnp.float32), batch_sharding(tr.mesh, 4))
+    labels = jax.device_put(
+        jnp.asarray(rng.integers(0, num_classes, batch), jnp.int32),
+        batch_sharding(tr.mesh, 1))
+    state, m = tr._step_fn(tr.state, imgs, labels)   # compile OUTSIDE trace
+    np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, m = tr._step_fn(state, imgs, labels)
+        np.asarray(m["loss"])                        # host fence
+    ms_per_step = (time.perf_counter() - t0) * 1e3 / steps
+    paths = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                             recursive=True))
+    return paths, ms_per_step
+
+
 def hlo_self_times(xplane_paths: list[str]) -> list[dict]:
     """hlo_stats rows → [{name, category, occurrences, self_us}] sorted by
     total self time desc."""
@@ -98,6 +142,47 @@ def _match_layer(hlo_name: str, bounds) -> object | None:
     return None
 
 
+def _train_report(args) -> int:
+    """--mode train: per-category device-time breakdown of the train step
+    vs the 3×-forward analytic conv bound (fwd + input-grad + weight-grad
+    convs each ≈ the forward conv FLOPs)."""
+    paths, ms_per_step = trace_train(args.batch, args.steps, args.backbone,
+                                     image_size=args.image_size)
+    if not paths:
+        print(json.dumps({"error": "no xplane produced"}))
+        return 1
+    rows = hlo_self_times(paths)
+    per_cat: dict[str, float] = {}
+    for r in rows:
+        cat = str(r["category"] or "uncat")
+        per_cat[cat] = per_cat.get(cat, 0.0) + r["self_us"] / args.steps
+    total_us = sum(per_cat.values())
+    conv_us = sum(v for c, v in per_cat.items() if "conv" in c.lower())
+
+    from crfr.bench.roofline import ir_layer_bounds, summarize
+
+    s = summarize(ir_layer_bounds(args.backbone.split("_")[-1], args.batch,
+                                  args.image_size))
+    out = {
+        "metric": "xprof_train_step_check",
+        "batch": args.batch,
+        "measured_ms_per_step": round(ms_per_step, 2),
+        "device_total_ms_per_step": round(total_us / 1e3, 2),
+        "dispatch_gap_ms": round(ms_per_step - total_us / 1e3, 2),
+        "conv_ms_per_step": round(conv_us / 1e3, 2),
+        "conv_fraction": round(conv_us / max(total_us, 1e-9), 3),
+        "fwd_conv_bound_ms": round(s.bound_s * 1e3, 2),
+        "train_conv_bound_3x_fwd_ms": round(3 * s.bound_s * 1e3, 2),
+        "conv_over_3x_bound": round(conv_us / 1e3
+                                    / (3 * s.bound_s * 1e3), 2),
+        "per_category_us": {c: round(v, 1) for c, v in
+                            sorted(per_cat.items(), key=lambda kv: -kv[1])},
+        "xplane_files": len(paths),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -107,12 +192,16 @@ def main() -> int:
     ap.add_argument("--backbone", default="ir_50")
     ap.add_argument("--image-size", type=int, default=112)
     ap.add_argument("--top", type=int, default=6)
+    ap.add_argument("--mode", choices=("embed", "train"), default="embed")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/crfr_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.mode == "train":
+        return _train_report(args)
 
     paths, ms_per_batch = trace_embed(args.batch, args.steps, args.backbone,
                                       image_size=args.image_size)

@@ -572,7 +572,8 @@ def cmd_eval_openset(args, extra) -> int:
     res = open_set_identification(p, g, plab, glab, mated,
                                   cfg.eval.fpir_targets,
                                   max_rank=args.max_rank, mesh=mesh,
-                                  block=cfg.eval.gallery_block)
+                                  block=cfg.eval.gallery_block,
+                                  approx=args.approx)
     print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist(),
                       "tpir_at_fpir": res.tpir_at_fpir}))
     return 0
@@ -986,6 +987,10 @@ def main(argv=None) -> int:
     p.add_argument("--gallery-labels-npy", default="")
     p.add_argument("--mated-npy", default="",
                    help="bool .npy: probe enrolled in gallery")
+    p.add_argument("--approx", action="store_true",
+                   help="binned approx_max_k gallery selection (1.9× "
+                        "faster huge-distractor scans; protocol default "
+                        "is exact)")
     p.add_argument("--preset", default="tinyface_survface")
     p.set_defaults(fn=cmd_eval_openset)
 

@@ -299,14 +299,18 @@ def _dense_closed_set(probe_emb, gallery_emb, probe_labels, gallery_labels,
 
 def closed_set_identification(probe_emb, gallery_emb, probe_labels,
                               gallery_labels, max_rank: int = 20,
-                              mesh: Mesh | None = None, block: int = 0
+                              mesh: Mesh | None = None, block: int = 0,
+                              approx: bool = False
                               ) -> IdentificationResult:
     """SCface-style closed-set identification (every probe is enrolled).
 
     Streams the gallery in blocks (sharded over ``mesh`` when it has >1
-    device) — usable unchanged at MS1M-gallery scale."""
+    device) — usable unchanged at MS1M-gallery scale. ``approx=True``
+    opts in to binned top-k selection (see ``topk_matches``) for
+    huge-distractor galleries; protocols default to exact."""
     _, labels = topk_matches(probe_emb, gallery_emb, gallery_labels,
-                             k=max_rank, block=block, mesh=mesh)
+                             k=max_rank, block=block, mesh=mesh,
+                             approx=approx)
     r1, cmc_hits = _rank_from_topk(labels, probe_labels, max_rank)
     return IdentificationResult(
         rank1=float(np.mean(r1)),
@@ -318,7 +322,8 @@ def closed_set_identification(probe_emb, gallery_emb, probe_labels,
 def open_set_identification(probe_emb, gallery_emb, probe_labels,
                             gallery_labels, probe_mated,
                             fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
-                            mesh: Mesh | None = None, block: int = 0
+                            mesh: Mesh | None = None, block: int = 0,
+                            approx: bool = False
                             ) -> IdentificationResult:
     """TinyFace / QMUL-SurvFace open-set protocol.
 
@@ -328,9 +333,11 @@ def open_set_identification(probe_emb, gallery_emb, probe_labels,
     FPIR(τ) = P(top_sim ≥ τ | unmated); TPIR(τ) = P(top_sim ≥ τ AND top-1
     identity correct | mated). Thresholds come from the unmated score
     quantiles (exact, no sweep grid). Gallery streams in blocks — native-LR
-    sets with 10⁵-distractor galleries never materialize (N, M)."""
+    sets with 10⁵-distractor galleries never materialize (N, M).
+    ``approx=True``: binned selection fast path (default exact)."""
     scores, labels = topk_matches(probe_emb, gallery_emb, gallery_labels,
-                                  k=max_rank, block=block, mesh=mesh)
+                                  k=max_rank, block=block, mesh=mesh,
+                                  approx=approx)
     probe_labels = np.asarray(probe_labels)
     mated = np.asarray(probe_mated, dtype=bool)
     top_sim = scores[:, 0]
