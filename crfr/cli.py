@@ -636,7 +636,7 @@ def cmd_eval_ijbc(args, extra) -> int:
             np.load(args.g1_tpl_npy), np.load(args.g1_subjects_npy),
             np.load(args.g2_tpl_npy), np.load(args.g2_subjects_npy),
             fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(),
-            block=cfg.eval.gallery_block)
+            block=cfg.eval.gallery_block, approx=args.approx)
         print(json.dumps({"rank1": avg.rank1,
                           "cmc": np.asarray(avg.cmc).tolist(),
                           "tpir_at_fpir": avg.tpir_at_fpir,
@@ -678,7 +678,7 @@ def cmd_eval_ijbc(args, extra) -> int:
         avg, r1, r2 = ijbc_1n_two_gallery(
             p_emb, p_subj, g1_emb, g1_subj, g2_emb, g2_subj,
             fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(tr),
-            block=cfg.eval.gallery_block)
+            block=cfg.eval.gallery_block, approx=args.approx)
         out["rank1"] = avg.rank1
         out["cmc"] = np.asarray(avg.cmc).tolist()
         out["tpir_at_fpir"] = avg.tpir_at_fpir
@@ -1019,6 +1019,9 @@ def main(argv=None) -> int:
     p.add_argument("--g2-tpl-npy", default="")
     p.add_argument("--g2-subjects-npy", default="")
     p.add_argument("--preset", default="ms1m_ijbc")
+    p.add_argument("--approx", action="store_true",
+                   help="binned approx_max_k gallery selection for the 1:N "
+                        "top-k scans (headline numbers stay exact-mode)")
     p.set_defaults(fn=cmd_eval_ijbc)
 
     p = sub.add_parser("import-torch")

@@ -153,15 +153,15 @@ def pool_meta(image_embs, template_ids, media_ids, subject_ids
 def ijbc_1n_two_gallery(probe_embs, probe_subjects,
                         g1_embs, g1_subjects, g2_embs, g2_subjects,
                         fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
-                        mesh=None, block: int = 0
+                        mesh=None, block: int = 0, approx: bool = False
                         ) -> tuple[IJBCResult, IJBCResult, IJBCResult]:
     """Standard IJB-C 1:N: evaluate the probe set against EACH of the two
     disjoint gallery splits (G1/G2) and average — the convention the
     headline rank-k / TPIR@FPIR numbers use. → (avg, g1_result, g2_result)."""
     r1 = ijbc_1n(probe_embs, probe_subjects, g1_embs, g1_subjects,
-                 fpir_targets, max_rank, mesh=mesh, block=block)
+                 fpir_targets, max_rank, mesh=mesh, block=block, approx=approx)
     r2 = ijbc_1n(probe_embs, probe_subjects, g2_embs, g2_subjects,
-                 fpir_targets, max_rank, mesh=mesh, block=block)
+                 fpir_targets, max_rank, mesh=mesh, block=block, approx=approx)
     avg = IJBCResult(
         tar_at_far={},
         rank1=0.5 * (r1.rank1 + r2.rank1),
@@ -173,7 +173,7 @@ def ijbc_1n_two_gallery(probe_embs, probe_subjects,
 
 def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
             fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
-            mesh=None, block: int = 0) -> IJBCResult:
+            mesh=None, block: int = 0, approx: bool = False) -> IJBCResult:
     """1:N from POOLED template embeddings (run pool_templates first).
     Open-set TPIR@FPIR counts probes whose subject is absent from the
     gallery as unmated. Gallery streams in blocks (sharded over ``mesh``
@@ -187,9 +187,10 @@ def ijbc_1n(probe_embs, probe_subjects, gallery_embs, gallery_subjects,
     closed = closed_set_identification(
         np.asarray(probe_embs)[mated], gallery_embs,
         probe_subjects[mated], gallery_subjects, max_rank=max_rank,
-        mesh=mesh, block=block)
+        mesh=mesh, block=block, approx=approx)
     open_res = open_set_identification(
         probe_embs, gallery_embs, probe_subjects, gallery_subjects, mated,
-        fpir_targets=fpir_targets, max_rank=max_rank, mesh=mesh, block=block)
+        fpir_targets=fpir_targets, max_rank=max_rank, mesh=mesh, block=block,
+        approx=approx)
     return IJBCResult(tar_at_far={}, rank1=closed.rank1, cmc=closed.cmc,
                       tpir_at_fpir=open_res.tpir_at_fpir)

@@ -123,6 +123,35 @@ def test_ijbc_1n_two_gallery_averages(rng):
     assert avg.rank1 == pytest.approx(0.5)
 
 
+def test_ijbc_1n_approx_matches_exact(rng):
+    """approx=True (binned approx_max_k selection) threads through the
+    IJB-C 1:N entry points and agrees with the exact scan here."""
+    from crfr.eval.ijbc import ijbc_1n_two_gallery
+
+    d = 32
+    protos = rng.normal(0, 1, (40, d)).astype(np.float32)
+    # distractor-augmented galleries: 20 enrolled + 236 distractors each
+    def gal(lo, hi, salt):
+        enrolled = protos[lo:hi] + rng.normal(0, 0.05, (hi - lo, d))
+        junk = rng.normal(0, 1, (236, d)).astype(np.float32) + salt
+        subj = np.concatenate([np.arange(lo, hi), -np.ones(236, int) - 2])
+        # label <0 rows are masked; use unique fake subjects instead
+        subj[hi - lo:] = 1000 + np.arange(236)
+        return np.concatenate([enrolled, junk]).astype(np.float32), subj
+
+    g1, s1 = gal(0, 20, 0.0)
+    g2, s2 = gal(20, 40, 0.1)
+    probes = (protos + rng.normal(0, 0.05, protos.shape)).astype(np.float32)
+    p_subj = np.arange(40)
+    kw = dict(fpir_targets=(0.25,), max_rank=10, block=64)
+    a_ex, _, _ = ijbc_1n_two_gallery(probes, p_subj, g1, s1, g2, s2, **kw)
+    a_ap, _, _ = ijbc_1n_two_gallery(probes, p_subj, g1, s1, g2, s2,
+                                     approx=True, **kw)
+    assert a_ap.rank1 == pytest.approx(a_ex.rank1)
+    np.testing.assert_allclose(a_ap.cmc, a_ex.cmc)
+    assert a_ap.tpir_at_fpir[0.25] == pytest.approx(a_ex.tpir_at_fpir[0.25])
+
+
 def test_pool_meta_subjects(rng):
     from crfr.eval.ijbc import pool_meta
 
