@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--remeasure-cpu", action="store_true",
                     help="re-measure the torch-CPU reference (quiet host "
                          "only) and update BENCH_CPU_REF.json")
+    ap.add_argument("--init-timeout", type=float, default=600.0,
+                    help="seconds to wait for device/backend init before "
+                         "failing cleanly (the axon tunnel can go down; a "
+                         "hang here would eat the whole bench window)")
     args = ap.parse_args()
 
     # Persistent compile cache: repeat bench runs in one round skip the
@@ -62,6 +66,22 @@ def main() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/crfr_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Bounded backend probe: device enumeration blocks forever when the
+    # TPU tunnel is unresponsive. Probe it on a daemon thread and emit a
+    # machine-readable failure line instead of hanging the driver.
+    import threading
+    _ready = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), _ready.set()),
+                     daemon=True).start()
+    if not _ready.wait(args.init_timeout):
+        print(json.dumps({
+            "metric": "embed_imgs_per_sec_per_chip", "value": None,
+            "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": (f"device init timed out after {args.init_timeout:.0f}s"
+                      " — TPU backend (axon tunnel) unresponsive"),
+        }))
+        sys.exit(1)
 
     from crfr.bench.throughput import run_throughput
 

@@ -150,7 +150,7 @@ def cmd_train(args, extra) -> int:
                 degrade_to=cfg.data.eval_degrade_size,
                 resize_mode=cfg.data.resize_mode,
                 flip_fusion=cfg.eval.flip_fusion,
-                image_size=cfg.model.input_size)
+                image_size=cfg.model.input_size, mesh=tr.mesh)
         res = evaluate_bin(args.eval_bin, _eval_fn, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
         metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
@@ -449,7 +449,7 @@ def cmd_eval_verification(args, extra) -> int:
     backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
     kw = dict(resize_mode=cfg.data.resize_mode,
               flip_fusion=cfg.eval.flip_fusion,
-              image_size=cfg.model.input_size)
+              image_size=cfg.model.input_size, mesh=tr.mesh)
     fn_hr = make_extract_fn(backbone, degrade_to=None, **kw)
     # LR side: bicubic down→up, or down→G↑ when --sr-ckpt is given
     # (hallucination-aided recognition — the paper's eval protocol).
@@ -481,7 +481,7 @@ def cmd_eval_scface(args, extra) -> int:
     split = scface_split(args.gallery, args.probes, args.distance)
     backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
     fn = make_extract_fn(backbone, flip_fusion=cfg.eval.flip_fusion,
-                         image_size=cfg.model.input_size)
+                         image_size=cfg.model.input_size, mesh=tr.mesh)
     sr_apply = _sr_apply_if_requested(args, cfg)
     if sr_apply is not None:
         # PROBES routed through the hallucinator: ↓ to the G input size
@@ -490,7 +490,7 @@ def cmd_eval_scface(args, extra) -> int:
             backbone, degrade_to=cfg.model.input_size // args.sr_scale,
             sr_apply=sr_apply, resize_mode=cfg.data.resize_mode,
             flip_fusion=cfg.eval.flip_fusion,
-            image_size=cfg.model.input_size)
+            image_size=cfg.model.input_size, mesh=tr.mesh)
     else:
         fn_p = fn
     g = extract_embeddings(split.gallery_paths, fn, cfg.eval.batch_size, cfg.model.input_size)
@@ -551,7 +551,7 @@ def cmd_eval_openset(args, extra) -> int:
         backbone = lambda x: tr.model.backbone(x, train=False)  # noqa: E731
         kw = dict(resize_mode=cfg.data.resize_mode,
                   flip_fusion=cfg.eval.flip_fusion,
-                  image_size=cfg.model.input_size)
+                  image_size=cfg.model.input_size, mesh=tr.mesh)
         fn_g = make_extract_fn(backbone, **kw)
         sr_apply = _sr_apply_if_requested(args, cfg)
         degrade = args.degrade or cfg.data.eval_degrade_size
@@ -593,7 +593,7 @@ def cmd_eval_bin(args, extra) -> int:
                          degrade_to=degrade, sr_apply=sr_apply,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion,
-                         image_size=cfg.model.input_size)
+                         image_size=cfg.model.input_size, mesh=tr.mesh)
     res = evaluate_bin(args.bin, fn, cfg.eval.batch_size,
                        cfg.model.input_size, cfg.eval.n_folds,
                        cfg.eval.far_targets)
@@ -647,7 +647,7 @@ def cmd_eval_ijbc(args, extra) -> int:
     tr, cfg = _embed_fn_from_ckpt(args, extra)
     fn = make_extract_fn(lambda x: tr.model.backbone(x, train=False),
                          flip_fusion=cfg.eval.flip_fusion,
-                         image_size=cfg.model.input_size)
+                         image_size=cfg.model.input_size, mesh=tr.mesh)
     out: dict = {}
 
     def pooled(meta_path):
@@ -742,7 +742,7 @@ def cmd_extract(args, extra) -> int:
                          degrade_to=args.degrade or None,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion,
-                         image_size=cfg.model.input_size)
+                         image_size=cfg.model.input_size, mesh=tr.mesh)
     embs = extract_embeddings(paths, fn, cfg.eval.batch_size,
                               cfg.model.input_size)
     if args.quantize_bank:

@@ -68,6 +68,10 @@ def evaluate_bin(path: str, extract_fn, batch_size: int = 256,
     from crfr.eval.verification import evaluate_verification
 
     img1, img2, issame = load_bin(path, image_size)
+    # Don't pad a tiny set to the full serving batch: the zero rows are
+    # real forward-pass FLOPs (flip fusion doubles them). Round up to a
+    # multiple of 8 so shape variants (= compile entries) stay few.
+    batch_size = min(batch_size, max(-(-len(img1) // 8) * 8, 8))
 
     def embed_all(imgs: np.ndarray) -> np.ndarray:
         outs = []

@@ -23,8 +23,15 @@ def make_extract_fn(backbone_apply: Callable, degrade_to: int | None = None,
                     resize_mode: str = "pil", flip: bool = True,
                     flip_fusion: str = "sum", image_size: int = 112,
                     state_fn: Callable | None = None,
-                    sr_apply: Callable | None = None):
+                    sr_apply: Callable | None = None,
+                    mesh=None):
     """Build the jitted extract pipeline: raw pixels → embeddings.
+
+    ``mesh``: shard each input batch over the mesh (data-parallel
+    extraction). Without it a replicated-weights program on a >1-device
+    mesh makes GSPMD run the FULL batch on EVERY device — redundant
+    compute instead of an n_devices-way split. Batches whose leading dim
+    does not divide the device count fall back to the unsharded program.
 
     ``backbone_apply``: normalized pixels → embeddings (pure, jittable).
     Without ``state_fn`` the weights it closes over are baked into the
@@ -77,6 +84,19 @@ def make_extract_fn(backbone_apply: Callable, degrade_to: int | None = None,
                 emb = jnp.concatenate([emb, emb_f], axis=-1)
         return emb
 
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from crfr.parallel.mesh import batch_sharding
+
+        bs = batch_sharding(mesh, 4)
+        ndev = int(mesh.devices.size)
+
+        def put(images):
+            images = jnp.asarray(images)
+            if images.shape[0] % ndev == 0:
+                return jax.device_put(images, bs)
+            return images
+
+        return lambda images: f(get_state(), put(images))
     return lambda images: f(get_state(), images)
 
 
@@ -87,6 +107,9 @@ def extract_embeddings(paths: Sequence[str], extract_fn, batch_size: int = 256,
     Double-buffered: batch i+1 is dispatched (and decoded, via the
     threaded embed_batches) before batch i's result is forced back to the
     host, so device compute, host decode, and D2H copies all overlap."""
+    # Don't pad a tiny set to the full serving batch — the zero rows are
+    # real forward FLOPs. Multiple-of-8 keeps shape variants few.
+    batch_size = min(batch_size, max(-(-len(paths) // 8) * 8, 8))
     outs = []
     pending = None                      # (device embeddings, n_valid)
     for imgs, n_valid in embed_batches(paths, batch_size, image_size):

@@ -402,4 +402,15 @@ class DistillTrainer:
                 return s + student.residual(s, train=False)
             return s
 
-        return lambda images: f(self.state, images)
+        # shard eval batches over the mesh (divisible sizes): replicated
+        # inputs would make GSPMD run the full batch on every device
+        bs = batch_sharding(self.mesh, 4)
+        ndev = int(self.mesh.devices.size)
+
+        def run(images):
+            images = jnp.asarray(images)
+            if ndev > 1 and images.shape[0] % ndev == 0:
+                images = jax.device_put(images, bs)
+            return f(self.state, images)
+
+        return run

@@ -383,7 +383,10 @@ class Trainer:
 
     def embed_fn(self):
         """Raw (B,S,S,3) pixels → (B, D) f32, compiled once, reading the
-        trainer's LIVE state at every call (keep training; this fn follows)."""
+        trainer's LIVE state at every call (keep training; this fn follows).
+        Batches divisible by the device count are sharded over the mesh
+        (data-parallel embed; unsharded inputs would make GSPMD replicate
+        the whole forward on every device)."""
         graphdef = self.graphdef
 
         @jax.jit
@@ -391,4 +394,13 @@ class Trainer:
             model = nnx.merge(graphdef, *state)
             return model.backbone(normalize(images), train=False)
 
-        return lambda images: f(self.embed_state(), images)
+        bs = batch_sharding(self.mesh, 4)
+        ndev = int(self.mesh.devices.size)
+
+        def run(images):
+            images = jnp.asarray(images)
+            if ndev > 1 and images.shape[0] % ndev == 0:
+                images = jax.device_put(images, bs)
+            return f(self.embed_state(), images)
+
+        return run

@@ -59,6 +59,33 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def cli_ckpt(tmp_path_factory):
+    """Session-shared CLI-trained checkpoint: (ckpt_dir, overrides).
+
+    For tests whose subject is an eval/serve/distill CLI path and that just
+    need *a* restorable checkpoint — NOT the training itself (suite-time:
+    these used to each train their own throwaway model, paying a full
+    sharded-train-step trace per test). Consumers only read the directory."""
+    from crfr.cli import main
+
+    root = tmp_path_factory.mktemp("cli_ckpt")
+    ckpt = str(root / "ckpt")
+    overrides = [
+        "mesh.data=8",
+        "data.image_size=32", "data.num_classes=4",
+        "data.degrade_min=16", "data.degrade_max=32",
+        "model.backbone=ir_18", "model.compute_dtype=float32",
+        "model.dropout=0.0", "model.input_size=32",
+        "loss.scale=16.0", "loss.margin=0.2",
+        "train.batch_size=8", "train.warmup_steps=2",
+        f"train.checkpoint_dir={ckpt}",
+    ]
+    assert main(["train", "--preset", "casia_arcface", "--max-steps", "2",
+                 *overrides]) == 0
+    return ckpt, overrides
+
+
+@pytest.fixture(scope="session")
 def trained_session():
     """(cfg, data, trainer, losses): ir_18@32 trained 30 steps on the
     4-class synthetic set — THE session-shared trained model (SURVEY §4

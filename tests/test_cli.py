@@ -25,33 +25,31 @@ def tiny_overrides(tmp_path):
         "model.dropout=0.0", "model.input_size=32",
         "loss.scale=16.0", "loss.margin=0.2",
         "train.batch_size=8", "train.warmup_steps=2",
-        "train.checkpoint_every_steps=5",
+        "train.checkpoint_every_steps=2",
         f"train.checkpoint_dir={tmp_path}/ckpt",
     ]
 
 
 def test_cli_train_and_resume(tmp_path, tiny_overrides, capsys):
-    rc = main(["train", "--preset", "casia_arcface", "--max-steps", "6",
-               *tiny_overrides])
-    assert rc == 0
-    res = _capture(capsys)
-    assert res["final_step"] == 6
-    # resume continues from the checkpoint
-    rc = main(["train", "--preset", "casia_arcface", "--max-steps", "9",
-               "--resume", *tiny_overrides])
-    assert rc == 0
-    res = _capture(capsys)
-    assert res["final_step"] == 9
-
-
-def test_cli_train_distill(tmp_path, tiny_overrides, capsys):
     rc = main(["train", "--preset", "casia_arcface", "--max-steps", "4",
                *tiny_overrides])
     assert rc == 0
+    res = _capture(capsys)
+    assert res["final_step"] == 4
+    # resume continues from the checkpoint
+    rc = main(["train", "--preset", "casia_arcface", "--max-steps", "6",
+               "--resume", *tiny_overrides])
+    assert rc == 0
+    res = _capture(capsys)
+    assert res["final_step"] == 6
+
+
+def test_cli_train_distill(tmp_path, cli_ckpt, capsys):
+    teacher_ckpt, overrides = cli_ckpt       # session-shared teacher
     capsys.readouterr()
     rc = main(["train-distill", "--preset", "casia_arcface",
-               "--teacher-ckpt", f"{tmp_path}/ckpt", "--max-steps", "3",
-               "--kd-weight", "1.0", *tiny_overrides,
+               "--teacher-ckpt", teacher_ckpt, "--max-steps", "3",
+               "--kd-weight", "1.0", *overrides,
                f"train.checkpoint_dir={tmp_path}/distill"])
     assert rc == 0
     res = _capture(capsys)
@@ -77,14 +75,12 @@ def test_cli_pack_and_eval_paths(tmp_path, capsys):
     assert os.path.exists(out)
 
 
-def test_cli_export(tmp_path, tiny_overrides, capsys):
-    rc = main(["train", "--preset", "casia_arcface", "--max-steps", "2",
-               *tiny_overrides])
-    assert rc == 0
+def test_cli_export(tmp_path, cli_ckpt, capsys):
+    ckpt, overrides = cli_ckpt               # session-shared ckpt
     capsys.readouterr()
     out = str(tmp_path / "m.crfrx")
-    rc = main(["export", "--ckpt", f"{tmp_path}/ckpt", "--out", out,
-               "--batch", "4", "--degrade", "16", *tiny_overrides])
+    rc = main(["export", "--ckpt", ckpt, "--out", out,
+               "--batch", "4", "--degrade", "16", *overrides])
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["batch"] == 4 and res["degrade_to"] == 16

@@ -87,24 +87,15 @@ def test_cli_import_torch_roundtrip(tmp_path, capsys):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_cli_eval_ijbc(tmp_path, capsys):
-    """Tiny synthetic IJB-C metadata through the CLI (trains a throwaway
-    ckpt first)."""
+def test_cli_eval_ijbc(tmp_path, cli_ckpt, capsys):
+    """Tiny synthetic IJB-C metadata through the CLI (session-shared
+    ckpt — the subject here is the eval path, not training)."""
     from PIL import Image
 
     from crfr.cli import main
 
     rng = np.random.default_rng(0)
-    overrides = [
-        "mesh.data=8", "data.image_size=32", "data.num_classes=4",
-        "data.degrade_min=16", "data.degrade_max=32",
-        "model.backbone=ir_18", "model.compute_dtype=float32",
-        "model.dropout=0.0", "model.input_size=32",
-        "train.batch_size=8", "train.warmup_steps=2",
-        f"train.checkpoint_dir={tmp_path}/ckpt",
-    ]
-    assert main(["train", "--preset", "ms1m_ijbc", "--max-steps", "2",
-                 "mesh.model=1", *overrides]) == 0
+    ckpt, _ = cli_ckpt
     capsys.readouterr()
 
     img_dir = tmp_path / "imgs"
@@ -124,7 +115,7 @@ def test_cli_eval_ijbc(tmp_path, capsys):
     pair_lines = ["0 1 1", "2 3 1", "0 2 0", "1 7 0", "4 5 1", "3 6 0"]
     (tmp_path / "pairs.txt").write_text("\n".join(pair_lines))
 
-    rc = main(["eval-ijbc", "--ckpt", f"{tmp_path}/ckpt",
+    rc = main(["eval-ijbc", "--ckpt", ckpt,
                "--meta", str(tmp_path / "meta.txt"),
                "--pairs", str(tmp_path / "pairs.txt")])
     assert rc == 0

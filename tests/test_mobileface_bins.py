@@ -127,7 +127,7 @@ def test_factory_dispatch():
 # ------------------------------ .bin ---------------------------------------
 
 
-def test_cli_eval_bin(tmp_path, capsys):
+def test_cli_eval_bin(tmp_path, cli_ckpt, capsys):
     """eval-bin CLI end-to-end with a synthetic .bin and a tiny ckpt."""
     import json as _json
 
@@ -135,16 +135,7 @@ def test_cli_eval_bin(tmp_path, capsys):
     from crfr.data.bins import save_bin
     from crfr.data.synthetic import SyntheticFaces
 
-    overrides = [
-        "mesh.data=8", "data.image_size=32", "data.num_classes=4",
-        "data.degrade_min=16", "data.degrade_max=32",
-        "model.backbone=ir_18", "model.compute_dtype=float32",
-        "model.dropout=0.0", "model.input_size=32",
-        "train.batch_size=8", "train.warmup_steps=2",
-        f"train.checkpoint_dir={tmp_path}/ckpt",
-    ]
-    assert main(["train", "--preset", "lfw_ir50_16px", "--max-steps", "2",
-                 *overrides]) == 0
+    ckpt, _ = cli_ckpt                       # session-shared ckpt
     capsys.readouterr()
 
     data = SyntheticFaces(num_classes=8, image_size=32, seed=3)
@@ -152,7 +143,7 @@ def test_cli_eval_bin(tmp_path, capsys):
     i1, i2, issame = data.eval_pairs(rng, 16)
     p = str(tmp_path / "pairs.bin")
     save_bin(p, i1.astype(np.uint8), i2.astype(np.uint8), issame)
-    rc = main(["eval-bin", "--ckpt", f"{tmp_path}/ckpt", "--bin", p,
+    rc = main(["eval-bin", "--ckpt", ckpt, "--bin", p,
                "eval.n_folds=4"])
     assert rc == 0
     res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -57,10 +57,12 @@ def test_quantized_backbone_embedding_fidelity(rng):
     assert cos.min() > 0.995, cos
 
 
+@pytest.mark.slow
 def test_quantized_trained_model_keeps_accuracy(trained_session):
     """The serving claim that matters: int8 embeddings run the SAME
     verification protocol to (near-)identical accuracy on a trained
-    model."""
+    model. (slow tier: ~3 min of distinct whole-model quant compiles; the
+    fast tier keeps per-layer faithfulness + backbone cosine fidelity.)"""
     from crfr.eval import evaluate_verification
     from crfr.ops.normalize import normalize
 

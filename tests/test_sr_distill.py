@@ -59,7 +59,10 @@ def test_sr_trainer_learns(rng):
     assert 0.0 <= float(sr.min()) and float(sr.max()) <= 255.0
 
 
+@pytest.mark.slow
 def test_distill_student_tracks_teacher(rng, tiny_teacher):
+    # slow tier: ~2 min of 20 KD steps + 3 embed compiles on the 1-vCPU
+    # box; the fast tier keeps the distill CLI e2e + optimizer-chain tests.
     from crfr.train.distill_loop import DistillTrainer
     from crfr.train.distill_loop import teacher_from_trainer
 

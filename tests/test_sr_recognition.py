@@ -73,9 +73,12 @@ def test_sr_equals_bicubic_at_init(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_sr_pipeline(tmp_path, capsys):
     """CLI drive of the full title pipeline: teacher → hallucinator →
-    SR-fed distillation → SR-routed eval (--sr-ckpt everywhere)."""
+    SR-fed distillation → SR-routed eval (--sr-ckpt everywhere).
+    (slow tier: 3 CLI trainings = ~1 min on the 1-vCPU box; the fast tier
+    keeps the train-distill CLI e2e and every SR/KD unit test.)"""
     import json
 
     from crfr.cli import main
