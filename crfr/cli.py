@@ -828,7 +828,7 @@ def cmd_match(args, extra) -> int:
                              degrade_to=degrade or None, sr_apply=sr_apply,
                              resize_mode=cfg.data.resize_mode,
                              flip_fusion=cfg.eval.flip_fusion,
-                             image_size=cfg.model.input_size)
+                             image_size=cfg.model.input_size, mesh=tr.mesh)
         p = extract_embeddings(paths, fn, cfg.eval.batch_size,
                                cfg.model.input_size)
         mesh = _topk_mesh(tr)

@@ -69,6 +69,64 @@ def test_streaming_topk_k_larger_than_gallery(rng):
     assert (np.asarray(l)[:, 5:] == -1).all()
 
 
+def test_extract_sharded_matches_unsharded(rng):
+    """make_extract_fn(mesh=): a mesh-divisible batch runs the
+    batch-sharded program, a ragged one the replicated program — both must
+    produce the same embeddings (the divisible path is the 8× fix for
+    GSPMD running the full batch on every device)."""
+    import jax
+    from flax import nnx
+
+    from crfr.eval.extract import make_extract_fn
+    from crfr.models import build_backbone
+    from crfr.parallel.mesh import make_mesh
+
+    bb = build_backbone("ir_18", input_size=32, dropout=0.0,
+                        dtype=jnp.float32, rngs=nnx.Rngs(0))
+    apply = lambda x: bb(x, train=False)                    # noqa: E731
+    mesh = make_mesh()
+    fn = make_extract_fn(apply, image_size=32, mesh=mesh)
+    fn_plain = make_extract_fn(apply, image_size=32)
+    x = rng.integers(0, 256, (16, 32, 32, 3)).astype(np.float32)
+    e_sharded = np.asarray(fn(x))                           # 16 % 8 == 0
+    e_ragged = np.asarray(fn(x[:11]))                       # fallback path
+    e_plain = np.asarray(fn_plain(x))
+    np.testing.assert_allclose(e_sharded, e_plain, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(e_ragged, e_plain[:11], rtol=2e-4, atol=2e-4)
+
+
+def test_extract_small_set_batch_clamp(tmp_path, rng):
+    """extract_embeddings must not pad a tiny path list to the serving
+    batch (256): the padded zero rows were real forward FLOPs."""
+    from PIL import Image
+
+    from crfr.data.pipeline import embed_batches
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                        ).save(p)
+        paths.append(str(p))
+
+    seen = []
+    from crfr.eval import extract as ex
+    orig = ex.embed_batches
+
+    def spy(paths_, batch_size, image_size):
+        seen.append(batch_size)
+        return orig(paths_, batch_size, image_size)
+
+    ex.embed_batches = spy
+    try:
+        embs = ex.extract_embeddings(paths, lambda im: jnp.zeros((len(im), 4)),
+                                     batch_size=256, image_size=32)
+    finally:
+        ex.embed_batches = orig
+    assert seen == [8], seen                   # ceil(5/8)*8, not 256
+    assert embs.shape == (5, 4)
+
+
 def test_verification_fold_count_edge(rng):
     """n not divisible by folds: fold masks must still partition exactly."""
     a = rng.normal(0, 1, (23, 8)).astype(np.float32)
