@@ -118,8 +118,10 @@ def test_distill_optimizer_matches_trainer_chain(tiny_teacher):
     student = nnx.merge(st.graphdef, st.state)
     params = nnx.state(student, nnx.Param)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    opt = st.tx.init(params)
-    updates, _ = st.tx.update(zeros, opt, params)
+    # jit: eager optax over hundreds of mesh-replicated leaves is ~30 s of
+    # pure dispatch on this box; the jitted pair runs in one program
+    opt = jax.jit(st.tx.init)(params)
+    updates, _ = jax.jit(st.tx.update)(zeros, opt, params)
     flat = jax.tree_util.tree_flatten_with_path(updates)[0]
     decayed = not_decayed = 0
     for path, u in flat:

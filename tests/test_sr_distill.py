@@ -227,7 +227,9 @@ def test_perceptual_gradient_reaches_generator(rng, tiny_teacher):
         sr, _, _ = gen(lr, train=False)
         return gl.perceptual_loss(pf(sr), pf(hr))
 
-    loss, grads = nnx.value_and_grad(loss_fn)(gen)
+    # jit the whole value_and_grad: eager nnx autodiff is ~30 s of per-op
+    # dispatch on this box; one compiled program is ~3× faster end to end
+    loss, grads = nnx.jit(nnx.value_and_grad(loss_fn))(gen)
     assert float(loss) > 0
     gnorm = float(optax.global_norm(grads))
     assert gnorm > 1e-8, "perceptual term produced no generator gradient"
