@@ -132,28 +132,58 @@ def cmd_train(args, extra) -> int:
         nonlocal _eval_fn
         if not args.eval_bin:
             return
-        if multihost:
-            # In multi-controller JAX the eval program would mix per-host
-            # local arrays with globally-sharded weights (raises or hangs).
-            # Run eval offline from checkpoints on pods.
-            if _eval_fn is None and jax.process_index() == 0:
-                print("in-training eval disabled under multi-host; "
-                      "run eval-bin offline from checkpoints", file=sys.stderr)
-            _eval_fn = "disabled-multihost"
-            return
         from crfr.data.bins import evaluate_bin
         from crfr.eval.extract import make_extract_fn
 
         if _eval_fn is None:
-            _eval_fn = make_extract_fn(
-                tr.backbone_apply, state_fn=tr.embed_state,
-                degrade_to=cfg.data.eval_degrade_size,
-                resize_mode=cfg.data.resize_mode,
-                flip_fusion=cfg.eval.flip_fusion,
-                image_size=cfg.model.input_size, mesh=tr.mesh)
+            if multihost:
+                # The train program's weights are sharded over the GLOBAL
+                # mesh; an eval program mixing them with per-host local
+                # arrays raises (non-addressable inputs) in multi-controller
+                # JAX. But the embed state is REPLICATED, hence locally
+                # addressable: snapshot it to host and run eval as a purely
+                # LOCAL single-device program — REDUNDANTLY on every host
+                # (identical data → identical result). Redundancy is load-
+                # bearing: if only one rank evaluated, the others would sit
+                # in the next train step's collective past its timeout.
+                import numpy as _np
+                import jax.numpy as _jnp
+
+                def _local_state():
+                    # backbone weights/BN are replicated → local read; the
+                    # class-sharded ArcFace W is NOT locally addressable,
+                    # but the backbone forward never reads it — substitute
+                    # local zeros so the tree stays mergeable. Typed PRNG
+                    # keys re-wrap through key_data (np can't view them).
+                    def snap(x):
+                        if hasattr(x, "dtype") and _jnp.issubdtype(
+                                x.dtype, jax.dtypes.prng_key):
+                            return jax.random.wrap_key_data(
+                                _np.asarray(jax.random.key_data(x)))
+                        if getattr(x, "is_fully_replicated", True):
+                            return _np.asarray(x)
+                        return _np.zeros(x.shape, x.dtype)
+
+                    return jax.tree_util.tree_map(snap, tr.embed_state())
+
+                _eval_fn = make_extract_fn(
+                    tr.backbone_apply, state_fn=_local_state,
+                    degrade_to=cfg.data.eval_degrade_size,
+                    resize_mode=cfg.data.resize_mode,
+                    flip_fusion=cfg.eval.flip_fusion,
+                    image_size=cfg.model.input_size)
+            else:
+                _eval_fn = make_extract_fn(
+                    tr.backbone_apply, state_fn=tr.embed_state,
+                    degrade_to=cfg.data.eval_degrade_size,
+                    resize_mode=cfg.data.resize_mode,
+                    flip_fusion=cfg.eval.flip_fusion,
+                    image_size=cfg.model.input_size, mesh=tr.mesh)
         res = evaluate_bin(args.eval_bin, _eval_fn, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
-        metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
+        if not multihost or jax.process_index() == 0:   # one metrics writer
+            metrics.write(step, eval_accuracy=res.accuracy_mean,
+                          eval_eer=res.eer)
 
     for i, (imgs, labels) in enumerate(feed):
         if args.max_steps and i + start >= args.max_steps:

@@ -36,9 +36,15 @@ def maybe_initialize_distributed() -> bool:
     pid = os.environ.get("CRFR_PROCESS_ID", os.environ.get("JAX_PROCESS_ID"))
     if coord is None or nproc is None or pid is None:
         return False
-    jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=int(nproc),
-                               process_id=int(pid))
+    try:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    except RuntimeError as e:
+        # idempotent: a launcher (or test worker) may have initialized
+        # already before handing control to a CLI entry point
+        if "already" not in str(e).lower():
+            raise
     return True
 
 

@@ -106,3 +106,48 @@ for imgs, labels in data.batches(16, 2, seed=3):
     losses_distill.append(float(jax.device_get(m["loss"])))
 print("LOSSES_DISTILL", " ".join(f"{l:.6f}" for l in losses_distill),
       flush=True)
+
+# ---------------------------------------------------------------------------
+# In-training eval under multi-host (cmd_train's local-snapshot path): the
+# REPLICATED embed state is locally addressable, so EVERY host snapshots it
+# and runs .bin verification as a purely LOCAL single-device program —
+# redundantly (identical data → identical result). Redundancy keeps ranks
+# in lockstep: a single evaluating rank would leave the others stuck in the
+# next train step's collective past gloo's timeout (observed). The
+# class-sharded head W is NOT addressable and is zero-substituted (the
+# backbone forward never reads it). One more cross-process train step after
+# eval proves nothing deadlocked.
+# ---------------------------------------------------------------------------
+import tempfile
+
+from crfr.data.bins import evaluate_bin, save_bin
+from crfr.eval.extract import make_extract_fn
+
+i1, i2, issame = data.eval_pairs(np.random.default_rng(4), 8)
+bin_path = os.path.join(tempfile.mkdtemp(), "pairs.bin")
+save_bin(bin_path, i1.astype(np.uint8), i2.astype(np.uint8), issame)
+
+
+def _local_state():
+    import jax.numpy as jnp
+
+    def snap(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                  jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                np.asarray(jax.random.key_data(x)))
+        if getattr(x, "is_fully_replicated", True):
+            return np.asarray(x)
+        return np.zeros(x.shape, x.dtype)
+    return jax.tree_util.tree_map(snap, tr.embed_state())
+
+
+fn = make_extract_fn(tr.backbone_apply, state_fn=_local_state, image_size=32)
+res = evaluate_bin(bin_path, fn, 16, 32, n_folds=2)
+print(f"EVAL_MH {res.accuracy_mean:.6f}", flush=True)
+
+post = []
+for imgs, labels in data.batches(16, 1, seed=5):
+    m = tr.train_step(imgs, labels)
+    post.append(float(jax.device_get(m["loss"])))
+print("LOSSES_POST_EVAL", " ".join(f"{l:.6f}" for l in post), flush=True)

@@ -47,7 +47,8 @@ def _parse(out: str) -> dict:
     for line in out.splitlines():
         parts = line.split()
         if parts and parts[0] in ("ACTIVE", "LOSSES", "SHARD",
-                                  "LOSSES_LOCAL", "LOSSES_DISTILL"):
+                                  "LOSSES_LOCAL", "LOSSES_DISTILL",
+                                  "EVAL_MH", "LOSSES_POST_EVAL"):
             d[parts[0]] = parts[1:]
     return d
 
@@ -103,3 +104,17 @@ def test_two_process_training_matches_single_process():
     mh_d = np.array([float(x) for x in outs[0]["LOSSES_DISTILL"]])
     sp_d = np.array([float(x) for x in c["LOSSES_DISTILL"]])
     np.testing.assert_allclose(mh_d, sp_d, atol=5e-4, rtol=1e-4)
+
+    # in-training eval under multi-host: every host runs the local-snapshot
+    # .bin eval redundantly (identical result, ranks stay in lockstep), and
+    # both then complete one more cross-process train step (no deadlock)
+    assert outs[0]["EVAL_MH"] == outs[1]["EVAL_MH"], outs
+    acc = float(outs[0]["EVAL_MH"][0])
+    assert 0.0 <= acc <= 1.0
+    # the local-snapshot eval tracks the single-process control's eval
+    # (weights match to 5e-4; allow one borderline pair of 8 to flip)
+    assert acc == pytest.approx(float(c["EVAL_MH"][0]), abs=0.13)
+    assert outs[0]["LOSSES_POST_EVAL"] == outs[1]["LOSSES_POST_EVAL"], outs
+    np.testing.assert_allclose(
+        [float(x) for x in outs[0]["LOSSES_POST_EVAL"]],
+        [float(x) for x in c["LOSSES_POST_EVAL"]], atol=5e-4, rtol=1e-4)
