@@ -146,28 +146,11 @@ def cmd_train(args, extra) -> int:
                 # (identical data → identical result). Redundancy is load-
                 # bearing: if only one rank evaluated, the others would sit
                 # in the next train step's collective past its timeout.
-                import numpy as _np
-                import jax.numpy as _jnp
-
-                def _local_state():
-                    # backbone weights/BN are replicated → local read; the
-                    # class-sharded ArcFace W is NOT locally addressable,
-                    # but the backbone forward never reads it — substitute
-                    # local zeros so the tree stays mergeable. Typed PRNG
-                    # keys re-wrap through key_data (np can't view them).
-                    def snap(x):
-                        if hasattr(x, "dtype") and _jnp.issubdtype(
-                                x.dtype, jax.dtypes.prng_key):
-                            return jax.random.wrap_key_data(
-                                _np.asarray(jax.random.key_data(x)))
-                        if getattr(x, "is_fully_replicated", True):
-                            return _np.asarray(x)
-                        return _np.zeros(x.shape, x.dtype)
-
-                    return jax.tree_util.tree_map(snap, tr.embed_state())
+                from crfr.parallel.mesh import local_snapshot
 
                 _eval_fn = make_extract_fn(
-                    tr.backbone_apply, state_fn=_local_state,
+                    tr.backbone_apply,
+                    state_fn=lambda: local_snapshot(tr.embed_state()),
                     degrade_to=cfg.data.eval_degrade_size,
                     resize_mode=cfg.data.resize_mode,
                     flip_fusion=cfg.eval.flip_fusion,
@@ -343,16 +326,23 @@ def cmd_train_distill(args, extra) -> int:
     if args.resume and sck.latest_step() is not None:
         st.load_state_dict(sck.restore(st.state_dict()))
         print(f"resumed student from step {st.step}", file=sys.stderr)
-    student_embed = st.student_embed_fn(with_residual=True)  # live state
+    multihost = jax.process_count() > 1
+    # live state; under multi-host every rank evals redundantly on a LOCAL
+    # state snapshot (same convention as cmd_train — keeps ranks in
+    # lockstep instead of parking them in a collective)
+    student_embed = st.student_embed_fn(with_residual=True,
+                                        local_snapshot=multihost)
 
     def in_loop_eval(step: int):
         # verification of the distilled student on a .bin pair set
-        if not args.eval_bin or jax.process_count() > 1:
+        if not args.eval_bin:
             return
         from crfr.data.bins import evaluate_bin
         res = evaluate_bin(args.eval_bin, student_embed, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
-        metrics.write(step, eval_accuracy=res.accuracy_mean, eval_eer=res.eer)
+        if not multihost or jax.process_index() == 0:
+            metrics.write(step, eval_accuracy=res.accuracy_mean,
+                          eval_eer=res.eer)
 
     m = {}
     start = st.step

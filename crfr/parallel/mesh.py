@@ -105,6 +105,31 @@ def host_put_tree(tree, sharding: NamedSharding):
     return jax.tree_util.tree_map(lambda x: host_put(x, sharding), tree)
 
 
+def local_snapshot(tree):
+    """Host-local numpy snapshot of a (mostly replicated) state tree, for
+    running process-LOCAL programs under multi-controller JAX (e.g. the
+    redundant per-host in-training eval).
+
+    Replicated leaves are locally addressable → plain host read. Leaves
+    that are NOT fully replicated (the class-sharded ArcFace W) are
+    zero-substituted — callers must only run programs that never read
+    them (backbone forwards do not). Typed PRNG keys re-wrap through
+    ``key_data`` (numpy cannot view the opaque key dtype)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    def snap(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                  jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                np.asarray(jax.random.key_data(x)))
+        if getattr(x, "is_fully_replicated", True):
+            return np.asarray(x)
+        return np.zeros(x.shape, x.dtype)
+
+    return jax.tree_util.tree_map(snap, tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (pytree of arrays) with batch-axis sharding."""
     def put(x):

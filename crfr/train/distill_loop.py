@@ -388,9 +388,15 @@ class DistillTrainer:
                                    trainable=trainable)
 
     # ------------------------------------------------------------------
-    def student_embed_fn(self, with_residual: bool = False):
+    def student_embed_fn(self, with_residual: bool = False,
+                         local_snapshot: bool = False):
         """Raw pixels → student embedding (optionally s + r), compiled once,
-        reading the trainer's LIVE state at every call."""
+        reading the trainer's LIVE state at every call.
+
+        ``local_snapshot=True``: snapshot the (replicated) state to host
+        per call and run a process-LOCAL single-device program — the
+        multi-host in-training-eval convention (every host evaluates
+        redundantly; see ``parallel.mesh.local_snapshot``)."""
         graphdef = self.graphdef
 
         @jax.jit
@@ -401,6 +407,11 @@ class DistillTrainer:
             if with_residual:
                 return s + student.residual(s, train=False)
             return s
+
+        if local_snapshot:
+            from crfr.parallel.mesh import local_snapshot as snap
+
+            return lambda images: f(snap(self.state), images)
 
         # shard eval batches over the mesh (divisible sizes): replicated
         # inputs would make GSPMD run the full batch on every device

@@ -128,21 +128,11 @@ bin_path = os.path.join(tempfile.mkdtemp(), "pairs.bin")
 save_bin(bin_path, i1.astype(np.uint8), i2.astype(np.uint8), issame)
 
 
-def _local_state():
-    import jax.numpy as jnp
+from crfr.parallel.mesh import local_snapshot
 
-    def snap(x):
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
-                                                  jax.dtypes.prng_key):
-            return jax.random.wrap_key_data(
-                np.asarray(jax.random.key_data(x)))
-        if getattr(x, "is_fully_replicated", True):
-            return np.asarray(x)
-        return np.zeros(x.shape, x.dtype)
-    return jax.tree_util.tree_map(snap, tr.embed_state())
-
-
-fn = make_extract_fn(tr.backbone_apply, state_fn=_local_state, image_size=32)
+fn = make_extract_fn(tr.backbone_apply,
+                     state_fn=lambda: local_snapshot(tr.embed_state()),
+                     image_size=32)
 res = evaluate_bin(bin_path, fn, 16, 32, n_folds=2)
 print(f"EVAL_MH {res.accuracy_mean:.6f}", flush=True)
 

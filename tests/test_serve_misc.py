@@ -118,6 +118,31 @@ def test_generic_pairs_parser(tmp_path):
     np.testing.assert_array_equal(proto.issame, [True, False, True])
 
 
+def test_local_snapshot_embed_matches_live(rng):
+    """parallel.mesh.local_snapshot (the multi-host redundant-eval state
+    convention): snapshot-state embeddings == live-state embeddings on a
+    single host; sharded/PRNG leaves survive the round trip."""
+    import jax
+
+    from crfr.eval.extract import make_extract_fn
+    from crfr.parallel.mesh import local_snapshot
+
+    cfg = _tiny_cfg().override(**{"mesh.data": 8, "mesh.model": 1})
+    tr = Trainer(cfg, steps_per_epoch=10)
+    data = SyntheticFaces(num_classes=4, image_size=32, seed=0)
+    imgs, labels = data.sample(np.random.default_rng(1), 8)
+    tr.train_step(imgs, labels)            # move BN stats off init
+
+    snap_fn = make_extract_fn(tr.backbone_apply,
+                              state_fn=lambda: local_snapshot(tr.embed_state()),
+                              image_size=32, flip=False)
+    live_fn = make_extract_fn(tr.backbone_apply, state_fn=tr.embed_state,
+                              image_size=32, flip=False)
+    x = rng.integers(0, 256, (8, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(snap_fn(x)), np.asarray(live_fn(x)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_process_shard_single_host():
     from crfr.parallel.multihost import (maybe_initialize_distributed,
                                          process_shard)
