@@ -141,3 +141,18 @@ for imgs, labels in data.batches(16, 1, seed=5):
     m = tr.train_step(imgs, labels)
     post.append(float(jax.device_get(m["loss"])))
 print("LOSSES_POST_EVAL", " ".join(f"{l:.6f}" for l in post), flush=True)
+
+# ---------------------------------------------------------------------------
+# SR GAN trainer across the process boundary: G and D steps (batch sharded
+# over the cross-process mesh, DP grad psum over "DCN") — the third trainer
+# of the multi-host story. Identical replicated losses on every rank ==
+# single-process control.
+# ---------------------------------------------------------------------------
+from crfr.train.sr_loop import SRTrainer
+
+sr_tr = SRTrainer(cfg, scale=4, n_priors=4)
+sr_losses = []
+for imgs, _ in data.batches(16, 2, seed=7):
+    m = sr_tr.train_step(imgs)
+    sr_losses.append(float(jax.device_get(m["g_loss"])))
+print("LOSSES_SR", " ".join(f"{l:.6f}" for l in sr_losses), flush=True)

@@ -48,7 +48,8 @@ def _parse(out: str) -> dict:
         parts = line.split()
         if parts and parts[0] in ("ACTIVE", "LOSSES", "SHARD",
                                   "LOSSES_LOCAL", "LOSSES_DISTILL",
-                                  "EVAL_MH", "LOSSES_POST_EVAL"):
+                                  "EVAL_MH", "LOSSES_POST_EVAL",
+                                  "LOSSES_SR"):
             d[parts[0]] = parts[1:]
     return d
 
@@ -118,3 +119,11 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(
         [float(x) for x in outs[0]["LOSSES_POST_EVAL"]],
         [float(x) for x in c["LOSSES_POST_EVAL"]], atol=5e-4, rtol=1e-4)
+
+    # SR GAN trainer (G+D adversarial steps) crosses the process boundary:
+    # identical per-rank losses == single-process control — all THREE
+    # trainers now proven multi-host
+    assert outs[0]["LOSSES_SR"] == outs[1]["LOSSES_SR"], outs
+    np.testing.assert_allclose(
+        [float(x) for x in outs[0]["LOSSES_SR"]],
+        [float(x) for x in c["LOSSES_SR"]], atol=5e-4, rtol=1e-4)
