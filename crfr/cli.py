@@ -33,6 +33,21 @@ def _load_cfg(args, extra):
     return get_config(args.preset, _split_overrides(extra))
 
 
+def _rank0_metrics(path: str, args):
+    """JSONL/TB metrics writer on process 0 only; a silent writer
+    elsewhere. On a pod-shared checkpoint dir, every rank appending the
+    same file would interleave P duplicate copies of each row. Call AFTER
+    maybe_initialize_distributed() (process_index is undefined before)."""
+    import jax
+    from crfr.utils.logging import MetricsWriter
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return MetricsWriter(stdout=False)
+    return MetricsWriter(path,
+                         tensorboard_dir=getattr(args, "tensorboard", None)
+                         or None)
+
+
 def _source_or_synthetic(cfg, path: str | None):
     if path:
         from crfr.data.records import open_source
@@ -48,15 +63,13 @@ def cmd_train(args, extra) -> int:
     from crfr.data.pipeline import PipelineCfg, train_batches
     from crfr.train.checkpoints import Checkpointer
     from crfr.train.loop import Trainer
-    from crfr.utils.logging import MetricsWriter
 
     cfg = _load_cfg(args, extra)
-    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "metrics.jsonl"),
-                            tensorboard_dir=args.tensorboard or None)
     from crfr.parallel.multihost import (maybe_initialize_distributed,
                                          process_shard)
     distributed = maybe_initialize_distributed()
+    metrics = _rank0_metrics(
+        os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl"), args)
 
     tr = Trainer(cfg, steps_per_epoch=args.steps_per_epoch, metrics=metrics)
     ck = Checkpointer(cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints)
@@ -148,9 +161,21 @@ def cmd_train(args, extra) -> int:
                 # in the next train step's collective past its timeout.
                 from crfr.parallel.mesh import local_snapshot
 
+                # snapshot once per trained step (state_fn runs per eval
+                # BATCH; weights cannot change mid-eval, and per-batch
+                # snapshots would D2H+H2D the whole tree every batch)
+                snap_cache: dict = {}
+
+                def _snap_state():
+                    if snap_cache.get("step") != tr.host_step:
+                        snap_cache.update(
+                            step=tr.host_step,
+                            state=local_snapshot(tr.embed_state()))
+                    return snap_cache["state"]
+
                 _eval_fn = make_extract_fn(
                     tr.backbone_apply,
-                    state_fn=lambda: local_snapshot(tr.embed_state()),
+                    state_fn=_snap_state,
                     degrade_to=cfg.data.eval_degrade_size,
                     resize_mode=cfg.data.resize_mode,
                     flip_fusion=cfg.eval.flip_fusion,
@@ -164,9 +189,8 @@ def cmd_train(args, extra) -> int:
                     image_size=cfg.model.input_size, mesh=tr.mesh)
         res = evaluate_bin(args.eval_bin, _eval_fn, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
-        if not multihost or jax.process_index() == 0:   # one metrics writer
-            metrics.write(step, eval_accuracy=res.accuracy_mean,
-                          eval_eer=res.eer)
+        metrics.write(step, eval_accuracy=res.accuracy_mean,
+                      eval_eer=res.eer)       # _rank0_metrics: p0-only file
 
     for i, (imgs, labels) in enumerate(feed):
         if args.max_steps and i + start >= args.max_steps:
@@ -222,15 +246,13 @@ def _distributed_feed(cfg, args, mesh, start: int = 0):
 def cmd_train_sr(args, extra) -> int:
     from crfr.parallel.multihost import maybe_initialize_distributed
     from crfr.train.sr_loop import SRTrainer
-    from crfr.utils.logging import MetricsWriter
 
     from crfr.train.checkpoints import Checkpointer
 
     maybe_initialize_distributed()
     cfg = _load_cfg(args, extra)
-    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "sr_metrics.jsonl"),
-                            tensorboard_dir=args.tensorboard or None)
+    metrics = _rank0_metrics(
+        os.path.join(cfg.train.checkpoint_dir, "sr_metrics.jsonl"), args)
     teacher_fn = None
     if args.teacher_ckpt:
         # identity loss ‖T(sr) − T(hr)‖ via a frozen recognition backbone
@@ -285,7 +307,6 @@ def cmd_train_distill(args, extra) -> int:
     from crfr.train.checkpoints import Checkpointer
     from crfr.train.distill_loop import DistillTrainer, teacher_from_trainer
     from crfr.train.loop import Trainer
-    from crfr.utils.logging import MetricsWriter
     from crfr.configs import Config
 
     maybe_initialize_distributed()
@@ -299,9 +320,8 @@ def cmd_train_distill(args, extra) -> int:
     teacher_tr = Trainer(tcfg, steps_per_epoch=1000)
     teacher_tr.state = tck.restore(teacher_tr.state)
 
-    metrics = MetricsWriter(os.path.join(cfg.train.checkpoint_dir,
-                                         "distill_metrics.jsonl"),
-                            tensorboard_dir=args.tensorboard or None)
+    metrics = _rank0_metrics(
+        os.path.join(cfg.train.checkpoint_dir, "distill_metrics.jsonl"), args)
     sr_fn = sr_module = None
     if getattr(args, "sr_finetune", False):
         # joint G fine-tuning: restore the hallucinator as a TRAINABLE
@@ -340,9 +360,8 @@ def cmd_train_distill(args, extra) -> int:
         from crfr.data.bins import evaluate_bin
         res = evaluate_bin(args.eval_bin, student_embed, cfg.eval.batch_size,
                            cfg.model.input_size, cfg.eval.n_folds)
-        if not multihost or jax.process_index() == 0:
-            metrics.write(step, eval_accuracy=res.accuracy_mean,
-                          eval_eer=res.eer)
+        metrics.write(step, eval_accuracy=res.accuracy_mean,
+                      eval_eer=res.eer)       # _rank0_metrics: p0-only file
 
     m = {}
     start = st.step
@@ -391,13 +410,20 @@ def _load_gallery(path: str, labels_path: str = ""):
     return g, lab
 
 
-def _backbone_apply(tr, cfg, args, sample_paths=()):
+def _backbone_apply(tr, cfg, args, sample_paths=(), degrade_to=None):
     """Float (default) or --int8 PTQ backbone apply for the serving-side
     commands (extract / match / export). int8 runs the s8×s8→s32 MXU conv
     path (models/quant.py; 1.6× measured on-chip vs bf16), calibrated on up
     to two batches of the run's OWN inputs pushed through the same
     degrade+normalize front end — or degraded noise when the command has no
-    images (export without a --calib-list)."""
+    images (export without a --calib-list).
+
+    ``degrade_to`` MUST be the exact value the caller passes to
+    make_extract_fn/build_serving_fn: calibrating on a different front end
+    (e.g. blurred 16px images when serving native-res) mis-scales the
+    activation absmax and the int8 path silently clips. (With --sr-ckpt the
+    calibration uses the plain down-up operator rather than G's output —
+    same dynamic range, absmax calibration is insensitive to that.)"""
     if not getattr(args, "int8", False):
         return lambda x: tr.model.backbone(x, train=False)
     import numpy as np
@@ -407,9 +433,8 @@ def _backbone_apply(tr, cfg, args, sample_paths=()):
     from crfr.ops.normalize import normalize
 
     size = cfg.model.input_size
-    degrade = getattr(args, "degrade", 0) or cfg.data.eval_degrade_size
-    w = (jnp.asarray(degrade_matrix(size, degrade, cfg.data.resize_mode))
-         if degrade else None)
+    w = (jnp.asarray(degrade_matrix(size, degrade_to, cfg.data.resize_mode))
+         if degrade_to else None)
 
     def prep(raw):
         x = jnp.asarray(raw, jnp.float32)
@@ -758,7 +783,8 @@ def cmd_extract(args, extra) -> int:
                 continue
             paths.append(os.path.join(args.root, parts[0]))
             labels.append(int(parts[1]) if len(parts) > 1 else -1)
-    fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths),
+    fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths,
+                                         degrade_to=args.degrade or None),
                          degrade_to=args.degrade or None,
                          resize_mode=cfg.data.resize_mode,
                          flip_fusion=cfg.eval.flip_fusion,
@@ -796,7 +822,8 @@ def cmd_export(args, extra) -> int:
     meta = export_embed(tr, args.out, batch=args.batch,
                         degrade_to=degrade or None,
                         flip_tta=args.flip_tta, sr_apply=sr_apply,
-                        backbone_apply=_backbone_apply(tr, cfg, args),
+                        backbone_apply=_backbone_apply(
+                            tr, cfg, args, degrade_to=degrade or None),
                         quantized=bool(args.int8))
     print(json.dumps(meta | {"out": args.out}))
     return 0
@@ -844,7 +871,8 @@ def cmd_match(args, extra) -> int:
         degrade = args.degrade or cfg.data.eval_degrade_size
         if sr_apply is not None and not degrade:
             degrade = cfg.model.input_size // args.sr_scale
-        fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths),
+        fn = make_extract_fn(_backbone_apply(tr, cfg, args, paths,
+                                             degrade_to=degrade or None),
                              degrade_to=degrade or None, sr_apply=sr_apply,
                              resize_mode=cfg.data.resize_mode,
                              flip_fusion=cfg.eval.flip_fusion,

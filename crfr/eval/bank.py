@@ -30,7 +30,7 @@ File format: ``.npz`` with arrays ``q`` (M, D) int8, ``scale`` (M,) f32,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +68,22 @@ class QuantBank:
                          labels=jax.device_put(self.labels, dev))
 
 
+def quantize_probes(probe_emb) -> tuple[jax.Array, jax.Array]:
+    """THE in-graph quantization recipe (normalize rows → absmax/127 scale
+    → clipped round): single source shared by the XLA scan and the fused
+    Pallas kernel — their bit-identical-scores invariant (and the
+    scan==fused parity tests) depends on every path using this exact
+    sequence. → (q (N, D) int8, scale (N,) f32)."""
+    p = jnp.asarray(probe_emb, jnp.float32)
+    p = p / jnp.linalg.norm(p, axis=-1, keepdims=True).clip(1e-12)
+    ps = jnp.max(jnp.abs(p), axis=-1).clip(1e-12) / 127.0
+    pq = jnp.clip(jnp.round(p / ps[:, None]), -127, 127).astype(jnp.int8)
+    return pq, ps
+
+
 def _quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # host-side twin of quantize_probes (bank building works without a
+    # device); keep the sequence identical to the jnp version above
     x = np.asarray(x, np.float32)
     x = x / np.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
     scale = np.abs(x).max(axis=-1).clip(1e-12) / 127.0
@@ -114,10 +129,7 @@ def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
     selection — 1.9× faster per 1M-row scan on v5e (15.4 → 8.2 ms,
     256 probes, k=10) at recall@10 ≈ 0.998 / exact top-1 on worst-case
     random vectors; selected rows keep their exact quantized scores."""
-    p = jnp.asarray(probe_emb, jnp.float32)
-    p = p / jnp.linalg.norm(p, axis=-1, keepdims=True).clip(1e-12)
-    ps = jnp.max(jnp.abs(p), axis=-1).clip(1e-12) / 127.0       # (N,)
-    pq = jnp.clip(jnp.round(p / ps[:, None]), -127, 127).astype(jnp.int8)
+    pq, ps = quantize_probes(probe_emb)
 
     q = jnp.asarray(q)
     m = q.shape[0]
@@ -161,6 +173,14 @@ def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
 def _streaming_topk_q_jit(pq, q, sc, lbl, k: int, block: int,
                           approx: bool = False):
     return streaming_topk_q(pq, q, sc, lbl, k=k, block=block, approx=approx)
+
+
+@lru_cache(maxsize=64)
+def _sharded_topk_q_jit(mesh: Mesh, k: int, block: int, approx: bool):
+    """Cached jitted sharded quantized scan (same rationale as
+    identification._sharded_topk_jit: a fresh shard_map closure per call
+    would recompile the identical program every time)."""
+    return jax.jit(sharded_topk_q(mesh, k=k, block=block, approx=approx))
 
 
 def sharded_topk_q(mesh: Mesh, k: int = 10, block: int = 8192,
@@ -230,9 +250,7 @@ def topk_matches_bank(probe_emb, bank: QuantBank, k: int,
             q = jnp.pad(q, ((0, padm - m), (0, 0)))
             sc = jnp.pad(sc, (0, padm - m))
             lbl = jnp.pad(lbl, (0, padm - m), constant_values=-1)
-        fn = jax.jit(sharded_topk_q(mesh, k=k,
-                                    block=min(block, padm // n_dev),
-                                    approx=approx))
+        fn = _sharded_topk_q_jit(mesh, k, min(block, padm // n_dev), approx)
         s, l = fn(jnp.asarray(probe_emb), q, sc, lbl)
     else:
         s, l = _streaming_topk_q_jit(jnp.asarray(probe_emb), q, sc, lbl, k,

@@ -85,18 +85,10 @@ def make_extract_fn(backbone_apply: Callable, degrade_to: int | None = None,
         return emb
 
     if mesh is not None and int(mesh.devices.size) > 1:
-        from crfr.parallel.mesh import batch_sharding
+        from crfr.parallel.mesh import maybe_shard_batch
 
-        bs = batch_sharding(mesh, 4)
-        ndev = int(mesh.devices.size)
-
-        def put(images):
-            images = jnp.asarray(images)
-            if images.shape[0] % ndev == 0:
-                return jax.device_put(images, bs)
-            return images
-
-        return lambda images: f(get_state(), put(images))
+        return lambda images: f(get_state(),
+                                maybe_shard_batch(mesh, jnp.asarray(images)))
     return lambda images: f(get_state(), images)
 
 

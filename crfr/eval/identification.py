@@ -32,7 +32,7 @@ Gallery labels are non-negative by convention; label −1 marks padding rows
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +196,15 @@ def _streaming_topk_jit(p, g, lbl, k: int, block: int, approx: bool = False):
     return streaming_topk(p, g, lbl, k=k, block=block, approx=approx)
 
 
+@lru_cache(maxsize=64)
+def _sharded_topk_jit(mesh: Mesh, k: int, block: int, approx: bool):
+    """Cached jitted sharded scan: ``sharded_topk`` builds a fresh
+    shard_map closure per call, so a bare ``jax.jit`` around it would
+    recompile the identical program on every ``topk_matches`` call
+    (IJB-C 1:N calls it 4×/run; a TPU compile is seconds-to-minutes)."""
+    return jax.jit(sharded_topk(mesh, k=k, block=block, approx=approx))
+
+
 def _auto_block(block: int, n_probes: int) -> int:
     """Scan block size: bigger blocks amortize per-step scan overhead
     (measured 1.5× from 8k→64k on v5e at 256 probes) but the (N, block)
@@ -245,8 +254,7 @@ def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
         if padm != m:
             g = jnp.pad(g, ((0, padm - m), (0, 0)))
             lbl = jnp.pad(lbl, (0, padm - m), constant_values=-1)
-        fn = jax.jit(sharded_topk(mesh, k=k, block=min(block, padm // n_dev),
-                                  approx=approx))
+        fn = _sharded_topk_jit(mesh, k, min(block, padm // n_dev), approx)
         s, l = fn(p, g, lbl)
     else:
         s, l = _streaming_topk_jit(p, g, lbl, k,

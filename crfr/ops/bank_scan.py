@@ -100,11 +100,11 @@ def bank_tilemax(pq: jax.Array, q: jax.Array, scale: jax.Array,
 
 
 def _quantize_probes(probe_emb):
-    p = jnp.asarray(probe_emb, jnp.float32)
-    p = p / jnp.linalg.norm(p, axis=-1, keepdims=True).clip(1e-12)
-    ps = jnp.max(jnp.abs(p), axis=-1).clip(1e-12) / 127.0
-    pq = jnp.clip(jnp.round(p / ps[:, None]), -127, 127).astype(jnp.int8)
-    return pq, ps
+    # single-source recipe: phase-1/phase-3 score equality with the XLA
+    # scan requires the exact same quantization sequence
+    from crfr.eval.bank import quantize_probes
+
+    return quantize_probes(probe_emb)
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "chunk", "interpret"))

@@ -105,6 +105,19 @@ def host_put_tree(tree, sharding: NamedSharding):
     return jax.tree_util.tree_map(lambda x: host_put(x, sharding), tree)
 
 
+def maybe_shard_batch(mesh: Mesh | None, images):
+    """Place an eval/extract batch for a replicated-weights forward: shard
+    axis 0 over the FULL mesh when it divides the device count (GSPMD
+    otherwise replicates the whole forward on every device — n_devices×
+    redundant compute), else leave placement to jit. One device_put from
+    host memory — no intermediate default-device upload."""
+    n = int(mesh.devices.size) if mesh is not None else 1
+    if n > 1 and int(images.shape[0]) % n == 0:
+        return jax.device_put(images, batch_sharding(mesh, getattr(
+            images, "ndim", 4)))
+    return images
+
+
 def local_snapshot(tree):
     """Host-local numpy snapshot of a (mostly replicated) state tree, for
     running process-LOCAL programs under multi-controller JAX (e.g. the

@@ -33,6 +33,7 @@ import io
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 from urllib.parse import parse_qs, urlparse
@@ -82,11 +83,16 @@ class EmbedService:
                 continue
             batch_items = [item]
             rows = item[0].shape[0]
-            # coalesce: whatever arrives within the window, up to B rows
-            deadline = self.window_s
+            # coalesce: whatever arrives within ONE window of the first
+            # request, up to B rows — the deadline is absolute, so a steady
+            # trickle cannot extend a request's wait past window_ms
+            t_end = time.monotonic() + self.window_s
             while rows < self.batch:
+                left = t_end - time.monotonic()
+                if left <= 0:
+                    break
                 try:
-                    nxt = self._q.get(timeout=deadline)
+                    nxt = self._q.get(timeout=left)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -172,9 +178,14 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
             except Exception as e:               # noqa: BLE001
                 return self._fail(400, f"body must be .npy bytes: {e}")
             if parsed.path == "/embed":
-                if arr.ndim != 4:
+                want_s = int(meta.get("image_size", 0))
+                if arr.ndim != 4 or (want_s and
+                                     arr.shape[1:] != (want_s, want_s, 3)):
+                    # reject BEFORE submit: a wrong-shape request inside a
+                    # coalesced batch would fail every request in it
                     return self._fail(400,
-                                      f"expect (B, S, S, 3), got {arr.shape}")
+                                      f"expect (B, {want_s}, {want_s}, 3), "
+                                      f"got {arr.shape}")
                 try:
                     # the AOT program's input dtype is static — coerce so
                     # mixed-dtype clients can't poison a coalesced batch
@@ -193,6 +204,11 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
                 approx = qs.get("approx", ["0"])[0] not in ("0", "", "false")
                 try:
                     if arr.ndim == 4:            # raw pixels → embed first
+                        want_s = int(meta.get("image_size", 0))
+                        if want_s and arr.shape[1:] != (want_s, want_s, 3):
+                            return self._fail(
+                                400, f"expect (B, {want_s}, {want_s}, 3) "
+                                     f"pixels, got {arr.shape}")
                         want = np.dtype(meta.get("input_dtype", "uint8"))
                         arr = service.submit(arr.astype(want, copy=False))
                     if arr.ndim != 2:

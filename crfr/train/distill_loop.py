@@ -50,7 +50,8 @@ from crfr.models.residual import ResidualBranch
 from crfr.ops.bicubic import degrade_matrix, resize_matrix
 from crfr.ops.normalize import normalize
 from crfr.parallel.mesh import (batch_sharding, class_sharding, host_put,
-                                make_mesh, pad_to_multiple, replicated)
+                                make_mesh, maybe_shard_batch,
+                                pad_to_multiple, replicated)
 from crfr.train.loop import lr_schedule, make_sgd_tx
 from crfr.utils.logging import MetricsWriter
 
@@ -411,17 +412,25 @@ class DistillTrainer:
         if local_snapshot:
             from crfr.parallel.mesh import local_snapshot as snap
 
-            return lambda images: f(snap(self.state), images)
+            # snapshot ONCE per trained step, not per eval batch: weights
+            # cannot change mid-eval, and per-batch snapshots would D2H+H2D
+            # the whole param tree for every batch
+            cache: dict = {}
+
+            def snap_state():
+                if cache.get("step") != self.step:
+                    cache.update(step=self.step, state=snap(self.state))
+                return cache["state"]
+
+            return lambda images: f(snap_state(), images)
 
         # shard eval batches over the mesh (divisible sizes): replicated
         # inputs would make GSPMD run the full batch on every device
-        bs = batch_sharding(self.mesh, 4)
-        ndev = int(self.mesh.devices.size)
+        mesh = self.mesh
 
         def run(images):
-            images = jnp.asarray(images)
-            if ndev > 1 and images.shape[0] % ndev == 0:
-                images = jax.device_put(images, bs)
-            return f(self.state, images)
+            if not hasattr(images, "shape"):
+                images = np.asarray(images)
+            return f(self.state, maybe_shard_batch(mesh, images))
 
         return run

@@ -43,7 +43,8 @@ from crfr.models.irse import build_backbone
 from crfr.ops.bicubic import degrade_matrix
 from crfr.ops.normalize import normalize
 from crfr.parallel.mesh import (batch_sharding, class_sharding, host_put,
-                                make_mesh, pad_to_multiple, replicated)
+                                make_mesh, maybe_shard_batch,
+                                pad_to_multiple, replicated)
 from crfr.utils.logging import MetricsWriter
 
 
@@ -394,13 +395,11 @@ class Trainer:
             model = nnx.merge(graphdef, *state)
             return model.backbone(normalize(images), train=False)
 
-        bs = batch_sharding(self.mesh, 4)
-        ndev = int(self.mesh.devices.size)
+        mesh = self.mesh
 
         def run(images):
-            images = jnp.asarray(images)
-            if ndev > 1 and images.shape[0] % ndev == 0:
-                images = jax.device_put(images, bs)
-            return f(self.embed_state(), images)
+            if not hasattr(images, "shape"):
+                images = np.asarray(images)
+            return f(self.embed_state(), maybe_shard_batch(mesh, images))
 
         return run
