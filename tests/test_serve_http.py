@@ -190,9 +190,52 @@ def test_http_error_paths(http_server):
         raise AssertionError("should 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+    # wrong spatial size: must 400 BEFORE coalescing (a wrong-shape
+    # request inside a shared batch used to 500 every request in it)
+    try:
+        _post(url + "/embed", _npy(np.zeros((1, 24, 24, 3), np.uint8)))
+        raise AssertionError("should 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "(B, 16, 16, 3)" in json.loads(e.read())["error"]
+    # a concurrent valid request is unaffected
+    st, _, _ = _post(url + "/embed", _npy(np.zeros((1, 16, 16, 3), np.uint8)))
+    assert st == 200
     # unknown path
     try:
         _post(url + "/nope", _npy(np.zeros((1, 16, 16, 3), np.uint8)))
         raise AssertionError("should 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_service_window_is_absolute_deadline():
+    """A steady sub-window trickle must not extend the first request's
+    wait: the coalescing deadline is absolute, not per-arrival."""
+    import time
+
+    def fn(x):
+        return x.reshape(x.shape[0], -1)[:, :2]
+
+    svc = EmbedService(fn, batch=64, window_ms=40.0)
+    try:
+        results = []
+
+        def one(i):
+            t0 = time.monotonic()
+            svc.submit(np.full((1, 2, 2, 3), i, np.float32))
+            results.append(time.monotonic() - t0)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+            time.sleep(0.015)           # trickle: 15 ms < 40 ms window
+        for t in threads:
+            t.join()
+        # per-arrival restarts would hold the first request ~6×15 ms+40 ms;
+        # the absolute deadline caps the whole batch at ~window + slack
+        assert max(results) < 0.5, results
+        assert time.monotonic() - t0 < 1.0
+    finally:
+        svc.close()
