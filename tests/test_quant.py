@@ -88,6 +88,46 @@ def test_quantized_trained_model_keeps_accuracy(trained_session):
     assert cos.min() > 0.98, cos.min()
 
 
+@pytest.mark.slow
+def test_cli_extract_int8_matches_float(tmp_path, cli_ckpt, rng, capsys):
+    """`crfr extract --int8` (the serving CLI plumbing around
+    _backbone_apply: calibration on the run's own inputs with the SAME
+    degrade front end the extract uses) produces embeddings aligned with
+    the float path. (slow tier: XLA:CPU s8 convs are ~4 min of
+    compile+run; the module-level quant tests cover the fast tier.)"""
+    import json as _json
+
+    from PIL import Image
+
+    from crfr.cli import main
+
+    ckpt, _ = cli_ckpt
+    lines = []
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(16):
+        p = d / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                        ).save(p)
+        lines.append(f"{p} {i % 4}")
+    (tmp_path / "list.txt").write_text("\n".join(lines))
+
+    def run(out, *flags):
+        rc = main(["extract", "--ckpt", ckpt,
+                   "--list", str(tmp_path / "list.txt"),
+                   "--out", str(tmp_path / out), *flags])
+        assert rc == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("f.npy")
+    run("q.npy", "--int8")
+    ef = np.load(tmp_path / "f.npy")
+    eq = np.load(tmp_path / "q.npy")
+    cos = (ef * eq).sum(-1) / (np.linalg.norm(ef, axis=-1)
+                               * np.linalg.norm(eq, axis=-1)).clip(1e-12)
+    assert cos.min() > 0.98, cos.min()
+
+
 def test_depthwise_convs_stay_float(rng):
     """MobileFaceNet's depthwise convs (bandwidth-bound, no MXU win) must
     NOT be quantized; pointwise/dense convs must."""
