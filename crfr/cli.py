@@ -24,6 +24,18 @@ import os
 import sys
 
 
+def _approx_flag(args):
+    """bool | float approx flag from --approx / --approx-recall.
+
+    --approx-recall R (0 < R < 1) implies approx mode at recall_target R
+    (identification._approx_cfg documents the recall characterization);
+    bare --approx keeps the default target."""
+    r = getattr(args, "approx_recall", 0.0) or 0.0
+    if r:
+        return float(r)
+    return bool(getattr(args, "approx", False))
+
+
 def _split_overrides(extra):
     return [a for a in extra if "=" in a and not a.startswith("-")]
 
@@ -618,7 +630,7 @@ def cmd_eval_openset(args, extra) -> int:
                                   cfg.eval.fpir_targets,
                                   max_rank=args.max_rank, mesh=mesh,
                                   block=cfg.eval.gallery_block,
-                                  approx=args.approx)
+                                  approx=_approx_flag(args))
     print(json.dumps({"rank1": res.rank1, "cmc": res.cmc.tolist(),
                       "tpir_at_fpir": res.tpir_at_fpir}))
     return 0
@@ -681,7 +693,7 @@ def cmd_eval_ijbc(args, extra) -> int:
             np.load(args.g1_tpl_npy), np.load(args.g1_subjects_npy),
             np.load(args.g2_tpl_npy), np.load(args.g2_subjects_npy),
             fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(),
-            block=cfg.eval.gallery_block, approx=args.approx)
+            block=cfg.eval.gallery_block, approx=_approx_flag(args))
         print(json.dumps({"rank1": avg.rank1,
                           "cmc": np.asarray(avg.cmc).tolist(),
                           "tpir_at_fpir": avg.tpir_at_fpir,
@@ -723,7 +735,7 @@ def cmd_eval_ijbc(args, extra) -> int:
         avg, r1, r2 = ijbc_1n_two_gallery(
             p_emb, p_subj, g1_emb, g1_subj, g2_emb, g2_subj,
             fpir_targets=cfg.eval.fpir_targets, mesh=_topk_mesh(tr),
-            block=cfg.eval.gallery_block, approx=args.approx)
+            block=cfg.eval.gallery_block, approx=_approx_flag(args))
         out["rank1"] = avg.rank1
         out["cmc"] = np.asarray(avg.cmc).tolist()
         out["tpir_at_fpir"] = avg.tpir_at_fpir
@@ -882,7 +894,7 @@ def cmd_match(args, extra) -> int:
         mesh = _topk_mesh(tr)
     scores, labels = topk_matches(p, g, glab, k=args.k,
                                   block=cfg.eval.gallery_block, mesh=mesh,
-                                  approx=args.approx)
+                                  approx=_approx_flag(args))
     out = [{"labels": labels[i].tolist(),
             "scores": [round(float(s), 4) for s in scores[i]]}
            for i in range(len(labels))]
@@ -1039,6 +1051,10 @@ def main(argv=None) -> int:
                    help="binned approx_max_k gallery selection (1.9× "
                         "faster huge-distractor scans; protocol default "
                         "is exact)")
+    p.add_argument("--approx-recall", type=float, default=0.0,
+                   help="approx_max_k recall_target in (0, 1); implies "
+                        "--approx. 0.999 defeats the adversarial "
+                        "stride-aliased layout (see eval/identification)")
     p.add_argument("--preset", default="tinyface_survface")
     p.set_defaults(fn=cmd_eval_openset)
 
@@ -1070,6 +1086,10 @@ def main(argv=None) -> int:
     p.add_argument("--approx", action="store_true",
                    help="binned approx_max_k gallery selection for the 1:N "
                         "top-k scans (headline numbers stay exact-mode)")
+    p.add_argument("--approx-recall", type=float, default=0.0,
+                   help="approx_max_k recall_target in (0, 1); implies "
+                        "--approx. 0.999 defeats the adversarial "
+                        "stride-aliased layout (see eval/identification)")
     p.set_defaults(fn=cmd_eval_ijbc)
 
     p = sub.add_parser("import-torch")
@@ -1135,6 +1155,10 @@ def main(argv=None) -> int:
     p.add_argument("--approx", action="store_true",
                    help="binned approx_max_k gallery selection — 1.9× "
                         "faster scans at recall@10 ≈ 0.998 (serving)")
+    p.add_argument("--approx-recall", type=float, default=0.0,
+                   help="approx_max_k recall_target in (0, 1); implies "
+                        "--approx. 0.999 defeats the adversarial "
+                        "stride-aliased layout (see eval/identification)")
     _add_sr_args(p, "route probe images through the hallucinator")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_match)

@@ -38,7 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from crfr.eval.identification import _block_topk
+from crfr.eval.identification import _approx_cfg, _block_topk
 
 
 @dataclass
@@ -118,17 +118,19 @@ def load_bank(path: str) -> QuantBank:
 
 
 def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
-                     block: int = 8192, approx: bool = False):
+                     block: int = 8192, approx: bool | float = False):
     """Per-probe top-k against an int8 bank without materializing (N, M).
 
     Probes are normalized and row-quantized in-graph; each lax.scan block
     does an s8×s8→s32 MXU GEMM then one rescale multiply. Padding rows get
     scale 0 / label −1 and score −inf.
 
-    ``approx=True``: TPU-native binned ``lax.approx_max_k`` block
-    selection — 1.9× faster per 1M-row scan on v5e (15.4 → 8.2 ms,
-    256 probes, k=10) at recall@10 ≈ 0.998 / exact top-1 on worst-case
-    random vectors; selected rows keep their exact quantized scores."""
+    ``approx`` (bool | float): TPU-native binned ``lax.approx_max_k``
+    block selection — 1.9× faster per 1M-row scan on v5e (15.4 → 8.2 ms,
+    256 probes, k=10) at recall@10 ≈ 0.998 / structurally exact top-1; a
+    float sets the recall_target (``identification._approx_cfg``
+    documents the adversarial stride-aliasing case and why 0.999 defeats
+    it). Selected rows keep their exact quantized scores."""
     pq, ps = quantize_probes(probe_emb)
 
     q = jnp.asarray(q)
@@ -145,6 +147,7 @@ def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
     n = pq.shape[0]
     init = (jnp.full((n, k), -jnp.inf, jnp.float32),
             jnp.full((n, k), -1, lbl.dtype))
+    use_approx, recall_target = _approx_cfg(approx)
 
     def step(carry, xs):
         top_s, top_l = carry
@@ -154,8 +157,9 @@ def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
             preferred_element_type=jnp.int32)                  # (N, block)
         sim = acc.astype(jnp.float32) * (ps[:, None] * sblk[None, :])
         sim = jnp.where(lblk[None, :] >= 0, sim, -jnp.inf)
-        if approx and sim.shape[1] > k:
-            blk_s, bi = jax.lax.approx_max_k(sim, k)
+        if use_approx and sim.shape[1] > k:
+            blk_s, bi = jax.lax.approx_max_k(sim, k,
+                                             recall_target=recall_target)
             blk_l = lblk[bi]
         else:
             blk_s, blk_l = _block_topk(sim, lblk, k)
@@ -171,12 +175,13 @@ def streaming_topk_q(probe_emb, q, scale, labels, k: int = 10,
 
 @partial(jax.jit, static_argnames=("k", "block", "approx"))
 def _streaming_topk_q_jit(pq, q, sc, lbl, k: int, block: int,
-                          approx: bool = False):
+                          approx: bool | float = False):
     return streaming_topk_q(pq, q, sc, lbl, k=k, block=block, approx=approx)
 
 
 @lru_cache(maxsize=64)
-def _sharded_topk_q_jit(mesh: Mesh, k: int, block: int, approx: bool):
+def _sharded_topk_q_jit(mesh: Mesh, k: int, block: int,
+                        approx: bool | float):
     """Cached jitted sharded quantized scan (same rationale as
     identification._sharded_topk_jit: a fresh shard_map closure per call
     would recompile the identical program every time)."""
@@ -184,7 +189,7 @@ def _sharded_topk_q_jit(mesh: Mesh, k: int, block: int, approx: bool):
 
 
 def sharded_topk_q(mesh: Mesh, k: int = 10, block: int = 8192,
-                   approx: bool = False):
+                   approx: bool | float = False):
     """Mesh-sharded quantized scan: bank rows sharded over the whole mesh,
     probes replicated; per-shard streaming top-k then a k·n_shards merge
     (identical reduction to identification.sharded_topk)."""
@@ -211,7 +216,7 @@ def sharded_topk_q(mesh: Mesh, k: int = 10, block: int = 8192,
 
 def topk_matches_bank(probe_emb, bank: QuantBank, k: int,
                       block: int = 0, mesh: Mesh | None = None,
-                      fused: bool = False, approx: bool = False
+                      fused: bool = False, approx: bool | float = False
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Quantized-bank twin of ``identification.topk_matches`` — same
     dispatch (streaming single-device / row-sharded on a >1-device mesh),

@@ -104,9 +104,40 @@ def _block_topk(sim: jax.Array, lblk: jax.Array, k: int, tile: int = 128
     return s, jnp.take_along_axis(cand_l, idx, axis=1)
 
 
+def _approx_cfg(approx) -> tuple[bool, float]:
+    """Decode the ``approx`` flag shared by every top-k API.
+
+    ``approx`` is ``bool | float``: False → exact selection; True → binned
+    ``lax.approx_max_k`` at its default recall_target (0.95); a float in
+    (0, 1) → that recall_target (more bins, higher recall, slightly
+    slower). A float ≥ 1.0 degrades to the exact path.
+
+    Recall characterization (measured, pinned by
+    ``tests/test_approx_adversarial.py``; BASELINE.md §serving):
+
+    - **top-1 is structurally exact** for ANY input: the binned reduction
+      keeps each bin's maximum, and the global maximum is the maximum of
+      its own bin — rank-1 identification never degrades under approx.
+    - Ranks 2..k lose recall ONLY when several top-k rows collide in one
+      reduction bin. Bins stride the gallery-block index space, so
+      *contiguous* near-duplicate rows (the natural clustered-gallery
+      layout: one identity's rows stored together) land in distinct bins
+      → recall 1.0 measured. The adversarial layout is top rows at
+      positions aliasing the bin stride: recall@10 collapsed to 0.2 at
+      stride 128 (M=8192, default target) — restored to 1.0 by
+      recall_target 0.999 at every stride tried (32..256).
+    - There is NO distribution-free floor above 1/k at the default
+      target; callers who cannot rule out positional aliasing should pass
+      ``approx=0.999`` (still ~1.5× the exact path) or keep exact.
+    """
+    if isinstance(approx, float) and not isinstance(approx, bool):
+        return approx < 1.0, min(max(approx, 1e-3), 0.9999)
+    return bool(approx), 0.95
+
+
 def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
                    gallery_labels: jax.Array, k: int = 10,
-                   block: int = 4096, approx: bool = False):
+                   block: int = 4096, approx: bool | float = False):
     """Top-k gallery matches per probe WITHOUT materializing (N, M) sims.
 
     lax.scan over static gallery blocks; carries running (scores, labels)
@@ -114,12 +145,14 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
     rows and rows with label < 0 score −inf. Returns (scores (N, k),
     labels (N, k)) sorted desc.
 
-    ``approx=True`` swaps the exact hierarchical block selection for the
-    TPU-native binned ``lax.approx_max_k`` (PartialReduce): measured
-    1.9× faster per 1M-row scan on v5e at recall@10 ≈ 0.998 / exact
-    top-1 even on worst-case random vectors (BASELINE.md §serving);
-    returned scores are still the exact similarities of the selected
-    rows. Use for serving; eval protocols default to exact.
+    ``approx`` (bool | float) swaps the exact hierarchical block selection
+    for the TPU-native binned ``lax.approx_max_k`` (PartialReduce):
+    measured 1.9× faster per 1M-row scan on v5e at recall@10 ≈ 0.998 /
+    exact top-1 on scattered rows; a float sets the recall_target (see
+    ``_approx_cfg`` for the full recall characterization incl. the
+    adversarial stride-aliasing case). Returned scores are always the
+    exact similarities of the selected rows. Use for serving; eval
+    protocols default to exact.
     """
     p = _normalized(probe_emb)                             # (N, D)
     g = _normalized(gallery_emb)                           # (M, D)
@@ -135,6 +168,7 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
     n = p.shape[0]
     init = (jnp.full((n, k), -jnp.inf, jnp.float32),
             jnp.full((n, k), -1, lbl.dtype))
+    use_approx, recall_target = _approx_cfg(approx)
 
     def step(carry, xs):
         top_s, top_l = carry
@@ -143,8 +177,9 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
                       precision=jax.lax.Precision.HIGHEST)  # (N, block)
         ok = vblk & (lblk >= 0)            # mask padding / sentinel rows
         sim = jnp.where(ok[None, :], sim, -jnp.inf)
-        if approx and sim.shape[1] > k:
-            blk_s, bi = jax.lax.approx_max_k(sim, k)
+        if use_approx and sim.shape[1] > k:
+            blk_s, bi = jax.lax.approx_max_k(sim, k,
+                                             recall_target=recall_target)
             blk_l = lblk[bi]
         else:
             blk_s, blk_l = _block_topk(sim, lblk, k)
@@ -159,7 +194,7 @@ def streaming_topk(probe_emb: jax.Array, gallery_emb: jax.Array,
 
 
 def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096,
-                 approx: bool = False):
+                 approx: bool | float = False):
     """Build a mesh-sharded top-k: gallery rows sharded over the WHOLE mesh,
     probes replicated; per-shard streaming top-k then a k·n_shards merge.
 
@@ -192,12 +227,13 @@ def sharded_topk(mesh: Mesh, k: int = 10, block: int = 4096,
 
 
 @partial(jax.jit, static_argnames=("k", "block", "approx"))
-def _streaming_topk_jit(p, g, lbl, k: int, block: int, approx: bool = False):
+def _streaming_topk_jit(p, g, lbl, k: int, block: int,
+                        approx: bool | float = False):
     return streaming_topk(p, g, lbl, k=k, block=block, approx=approx)
 
 
 @lru_cache(maxsize=64)
-def _sharded_topk_jit(mesh: Mesh, k: int, block: int, approx: bool):
+def _sharded_topk_jit(mesh: Mesh, k: int, block: int, approx: bool | float):
     """Cached jitted sharded scan: ``sharded_topk`` builds a fresh
     shard_map closure per call, so a bare ``jax.jit`` around it would
     recompile the identical program on every ``topk_matches`` call
@@ -216,7 +252,7 @@ def _auto_block(block: int, n_probes: int) -> int:
 
 def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
                  block: int = 0, mesh: Mesh | None = None,
-                 approx: bool = False
+                 approx: bool | float = False
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Per-probe top-k (scores, labels) against an arbitrarily large gallery.
 
@@ -230,9 +266,11 @@ def topk_matches(probe_emb, gallery_emb, gallery_labels, k: int,
     s8×s8→s32 quantized scan with identical dispatch and contract;
     ``gallery_labels`` (if not None) overrides the bank's stored labels.
 
-    ``approx=True``: binned ``lax.approx_max_k`` block selection — the
-    serving fast path (see ``streaming_topk``); exact scores for the
-    selected rows, recall@10 ≈ 0.998 measured worst-case.
+    ``approx`` (bool | float): binned ``lax.approx_max_k`` block
+    selection — the serving fast path; a float sets the recall_target
+    (``_approx_cfg`` documents the recall characterization: top-1 always
+    exact, 0.999 defeats the adversarial stride-aliased layout). Exact
+    scores for the selected rows either way.
     """
     from crfr.eval.bank import QuantBank, topk_matches_bank
 
@@ -308,7 +346,7 @@ def _dense_closed_set(probe_emb, gallery_emb, probe_labels, gallery_labels,
 def closed_set_identification(probe_emb, gallery_emb, probe_labels,
                               gallery_labels, max_rank: int = 20,
                               mesh: Mesh | None = None, block: int = 0,
-                              approx: bool = False
+                              approx: bool | float = False
                               ) -> IdentificationResult:
     """SCface-style closed-set identification (every probe is enrolled).
 
@@ -331,7 +369,7 @@ def open_set_identification(probe_emb, gallery_emb, probe_labels,
                             gallery_labels, probe_mated,
                             fpir_targets=(1e-2, 1e-1), max_rank: int = 20,
                             mesh: Mesh | None = None, block: int = 0,
-                            approx: bool = False
+                            approx: bool | float = False
                             ) -> IdentificationResult:
     """TinyFace / QMUL-SurvFace open-set protocol.
 

@@ -202,6 +202,14 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
                 qs = parse_qs(parsed.query)
                 k = int(qs.get("k", [default_k])[0])
                 approx = qs.get("approx", ["0"])[0] not in ("0", "", "false")
+                # ?recall=0.999 sets the approx_max_k recall_target
+                # (implies approx; see identification._approx_cfg)
+                rq = qs.get("recall", [""])[0]
+                if rq:
+                    try:
+                        approx = float(rq)
+                    except ValueError:
+                        return self._fail(400, f"bad recall {rq!r}")
                 try:
                     if arr.ndim == 4:            # raw pixels → embed first
                         want_s = int(meta.get("image_size", 0))

@@ -174,6 +174,16 @@ def test_http_match_bucketing_and_approx(http_server):
         assert out["k"] == k
         assert [m["labels"][0] for m in out["matches"]] == want
         assert all(len(m["labels"]) == k for m in out["matches"])
+    # ?recall=0.999 sets the approx_max_k recall_target (implies approx;
+    # the serving mitigation for bin-aliased galleries — _approx_cfg)
+    status, body, _ = _post(url + "/match?k=2&recall=0.999", _npy(gal[[5]]))
+    assert status == 200
+    assert json.loads(body)["matches"][0]["labels"][0] == 105
+    try:
+        _post(url + "/match?k=2&recall=abc", _npy(gal[[5]]))
+        raise AssertionError("should 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_http_error_paths(http_server):
