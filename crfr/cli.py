@@ -70,6 +70,33 @@ def _source_or_synthetic(cfg, path: str | None):
     return None, data
 
 
+def _recycle_exec(args, cfg, step: int):
+    """Replace this training process with a fresh one resuming at ``step``.
+
+    The supported form of the RSS-leak workaround BASELINE.md documents
+    (the axon tunnel's PJRT client retains ~9 MB host RSS per device_put;
+    week-long runs need periodic process recycling). Appends one record per
+    generation to <checkpoint_dir>/recycles.jsonl, then os.execv's
+    ``python -m crfr <original argv> --resume`` — never returns."""
+    import resource
+
+    gen = int(os.environ.get("CRFR_RECYCLE_GEN", "0")) + 1
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    with open(os.path.join(cfg.train.checkpoint_dir,
+                           "recycles.jsonl"), "a") as f:
+        f.write(json.dumps({"step": step, "gen": gen,
+                            "max_rss_mb": round(rss_mb, 1)}) + "\n")
+    argv = list(getattr(args, "_argv", sys.argv[1:]))
+    if "--resume" not in argv:
+        argv.append("--resume")
+    os.environ["CRFR_RECYCLE_GEN"] = str(gen)
+    print(f"recycling process at step {step} (gen {gen}, "
+          f"max RSS {rss_mb:.0f} MB)", file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, "-m", "crfr"] + argv)
+
+
 def cmd_train(args, extra) -> int:
     import jax
     from crfr.data.pipeline import PipelineCfg, train_batches
@@ -204,15 +231,39 @@ def cmd_train(args, extra) -> int:
         metrics.write(step, eval_accuracy=res.accuracy_mean,
                       eval_eer=res.eer)       # _rank0_metrics: p0-only file
 
+    recycle_every = getattr(args, "recycle_every_steps", 0) or 0
+    if recycle_every:
+        assert not multihost, (
+            "--recycle-every-steps is single-host only (a pod re-exec "
+            "needs coordinated restarts across processes)")
+
+    import time
+    t0, n_img = time.time(), 0
     for i, (imgs, labels) in enumerate(feed):
         if args.max_steps and i + start >= args.max_steps:
             break
-        tr.train_step(imgs, labels)
+        m = tr.train_step(imgs, labels)
+        n_img += local_bs
         step = tr.host_step      # async hot loop: no device sync per step
+        if step % cfg.train.log_every == 0:
+            # same record Trainer.fit logs — the CLI loop drives train_step
+            # directly (exact data resume), so it logs directly too
+            metrics.write(step, imgs_per_sec=n_img / (time.time() - t0),
+                          lr=float(tr.schedule(step)),
+                          **{k: float(jax.device_get(v))
+                             for k, v in m.items()})
         if step % cfg.train.checkpoint_every_steps == 0:
             save(step)
         if step % cfg.train.eval_every_steps == 0:
             in_loop_eval(step)
+        if (recycle_every and step - start >= recycle_every
+                and not (args.max_steps and step >= args.max_steps)):
+            # checkpoint, log, and replace this process with a fresh one
+            # resuming exactly here (resume is bitwise; the metrics JSONL
+            # appends across generations → one continuous stream)
+            save(step, force=True)
+            ck.close()
+            _recycle_exec(args, cfg, step)
     step = tr.host_step
     if ck.latest_step() != step:      # last loop save may already cover it
         save(step, force=True)
@@ -960,6 +1011,12 @@ def main(argv=None) -> int:
                    help=".bin verification set for in-training eval")
     p.add_argument("--tensorboard", default="",
                    help="also mirror metrics to TensorBoard event files")
+    p.add_argument("--recycle-every-steps", type=int, default=0,
+                   help="checkpoint and exec a fresh process every N steps "
+                        "(resume is bitwise) — bounds host RSS growth under "
+                        "PJRT-client leaks on week-long runs (BASELINE.md "
+                        "documents ~9 MB retained per transfer on the axon "
+                        "tunnel); single-host only")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("train-sr")
@@ -1183,6 +1240,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args, extra = ap.parse_known_args(argv)
+    # the effective argv, for process-recycling re-exec (cmd_train)
+    args._argv = list(sys.argv[1:] if argv is None else argv)
     return args.fn(args, extra)
 
 
