@@ -97,6 +97,37 @@ def _recycle_exec(args, cfg, step: int):
     os.execv(sys.executable, [sys.executable, "-m", "crfr"] + argv)
 
 
+def cmd_headline(args, extra) -> int:
+    """The paper's composed experiment (teacher → prior-aided SR-GAN →
+    student+residual-KD → cross-resolution eval) as one run; HeadlineCfg
+    fields are overridable as key=value extras (e.g. ids_train=32
+    teacher_steps=400)."""
+    import dataclasses
+
+    from crfr.experiments.headline import (HeadlineCfg, ordering_holds,
+                                           run_headline)
+
+    defaults = HeadlineCfg()
+    kv = {}
+    for ov in _split_overrides(extra):
+        k, v = ov.split("=", 1)
+        if not hasattr(defaults, k):
+            valid = [f.name for f in dataclasses.fields(HeadlineCfg)]
+            raise KeyError(f"unknown headline field {k!r}; valid: {valid}")
+        d = getattr(defaults, k)
+        kv[k] = (tuple(int(x) for x in v.split(",")) if isinstance(d, tuple)
+                 else type(d)(v))
+    kv.setdefault("probe_sizes",
+                  tuple(int(s) for s in args.probe_sizes.split(",") if s))
+    h = dataclasses.replace(defaults, out_dir=args.out, **kv)
+    table = run_headline(h)
+    out = {"results": table["results"], "total_s": table["total_s"],
+           "ordering": {str(p): ordering_holds(table, p)
+                        for p in h.probe_sizes}}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_train(args, extra) -> int:
     import jax
     from crfr.data.pipeline import PipelineCfg, train_batches
@@ -1182,6 +1213,15 @@ def main(argv=None) -> int:
     _add_sr_args(p, "bake a frozen hallucinator in front of the backbone")
     p.add_argument("--preset", default="casia_arcface")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("headline")
+    p.add_argument("--out", default="/tmp/crfr_headline",
+                   help="stage checkpoints + headline.json land here")
+    p.add_argument("--probe-sizes", default="16,8",
+                   help="comma-separated LR probe sizes (must divide "
+                        "data size; a (SR-GAN, student pair) trains per "
+                        "size)")
+    p.set_defaults(fn=cmd_headline)
 
     p = sub.add_parser("pack")
     p.add_argument("--root", default="",

@@ -61,24 +61,32 @@ class CoarseUpsampler(nnx.Module):
     EQUALS bicubic upsampling at init and can only improve on it — the
     standard SR residual-learning trick, and it guarantees the hallucination
     path never starts worse than the plain bicubic probe pipeline.
-    r must be a power of 2 (each sub-pixel stage doubles)."""
+
+    Any integer r ≥ 2: ×2 sub-pixel stages for every factor of 2, then one
+    final odd-factor sub-pixel stage (e.g. 14 → ×2 ×7; 7 → ×7 — the 112-px
+    pipeline's 16- and 8-px probes need scales 7 and 14). Power-of-2 scales
+    produce the exact pre-existing module tree (checkpoint-compatible)."""
 
     def __init__(self, scale: int, width: int = 64, n_res: int = 3, *,
                  rngs: nnx.Rngs, dtype=jnp.float32, bicubic_skip: bool = True,
                  resize_mode: str = "pil"):
-        assert scale & (scale - 1) == 0, "scale must be a power of 2"
+        assert scale >= 2, "scale must be an integer >= 2"
         self.scale = scale
         self.bicubic_skip = bicubic_skip
         self.resize_mode = resize_mode
         self.inp = ConvBlock(3, width, rngs=rngs, dtype=dtype)
         self.body = nnx.List([ResBlock(width, rngs=rngs, dtype=dtype)
                               for _ in range(n_res)])
-        ups = []
+        factors = []
         s = scale
-        while s > 1:
-            ups.append(nnx.Conv(width, width * 4, (3, 3), padding=1,
-                                dtype=dtype, rngs=rngs))
+        while s % 2 == 0:
+            factors.append(2)
             s //= 2
+        if s > 1:
+            factors.append(s)
+        self.factors = tuple(factors)
+        ups = [nnx.Conv(width, width * f * f, (3, 3), padding=1,
+                        dtype=dtype, rngs=rngs) for f in factors]
         self.ups = nnx.List(ups)
         self.out = nnx.Conv(width, 3, (3, 3), padding=1, dtype=dtype, rngs=rngs)
         # residual path starts at zero → coarse(x) == bicubic↑(x) at init
@@ -91,8 +99,8 @@ class CoarseUpsampler(nnx.Module):
         r = self.inp(x, train=train)
         for blk in self.body:
             r = blk(r, train=train)
-        for up in self.ups:
-            r = _depth_to_space(up(r), 2)
+        for up, f in zip(self.ups, self.factors):
+            r = _depth_to_space(up(r), f)
             r = jax.nn.relu(r)
         r = self.out(r)
         if not self.bicubic_skip:

@@ -73,6 +73,26 @@ def test_sr_equals_bicubic_at_init(rng):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("scale,s_lr", [(7, 16), (14, 8)])
+def test_sr_non_power_of_two_scales(rng, scale, s_lr):
+    """The 112-px pipeline's 16/8-px probes need scales 7 and 14: odd
+    factors go through one final sub-pixel stage; the bicubic-at-init
+    invariant must hold exactly there too (crfr/models/sr.py
+    CoarseUpsampler)."""
+    from flax import nnx
+
+    from crfr.models.sr import Hallucinator
+
+    h = Hallucinator(scale=scale, n_priors=4, rngs=nnx.Rngs(0))
+    x = normalize(jnp.asarray(
+        rng.uniform(0, 255, (2, s_lr, s_lr, 3)), jnp.float32))
+    sr, coarse, _ = h(x, train=False)
+    assert sr.shape == (2, s_lr * scale, s_lr * scale, 3)
+    w = jnp.asarray(resize_matrix(s_lr, s_lr * scale, "pil"))
+    bic = jnp.einsum("oi,bijc,pj->bopc", w, x, w)
+    np.testing.assert_allclose(np.asarray(coarse), np.asarray(bic), atol=1e-5)
+
+
 @pytest.mark.slow
 def test_cli_sr_pipeline(tmp_path, capsys):
     """CLI drive of the full title pipeline: teacher → hallucinator →
