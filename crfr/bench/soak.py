@@ -33,7 +33,12 @@ import time
 
 
 def _build_pack(path: str, n_classes: int, per_class: int, size: int,
-                seed: int = 0) -> None:
+                seed: int = 0, fmt: str = "raw") -> None:
+    """fmt='raw' ships pre-decoded u8 pixels (zero host decode in the hot
+    loop); fmt='jpeg' stores encoded bytes so the soak's host-pipeline term
+    includes a REAL per-image decode — running the soak at both settings
+    turns the decode cost into a measured two-point difference instead of
+    an attribution guess (VERDICT r3 next #3)."""
     import numpy as np
 
     from crfr.data.records import write_pack
@@ -42,13 +47,23 @@ def _build_pack(path: str, n_classes: int, per_class: int, size: int,
     data = SyntheticFaces(num_classes=n_classes, image_size=size, seed=seed)
     rng = np.random.default_rng(seed + 1)
 
+    def _enc(im: "np.ndarray"):
+        if fmt == "raw":
+            return im
+        import io as _io
+
+        from PIL import Image
+        buf = _io.BytesIO()
+        Image.fromarray(im).save(buf, format="JPEG", quality=92)
+        return buf.getvalue()
+
     def records():
         for c in range(n_classes):
             imgs, _ = data._of_labels(rng, np.full(per_class, c))
             for im in imgs:
-                yield c, im.astype(np.uint8)
+                yield c, _enc(im.astype(np.uint8))
 
-    write_pack(path, records())
+    write_pack(path, records(), fmt=fmt)
 
 
 def _build_eval_bin(path: str, n_classes: int, size: int, n_pairs: int = 600,
@@ -78,6 +93,9 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--workdir", default="")
+    ap.add_argument("--fmt", default="raw", choices=("raw", "jpeg"),
+                    help="record payload: pre-decoded pixels vs encoded "
+                         "JPEG (adds a real host decode per image)")
     args = ap.parse_args()
 
     import jax
@@ -89,11 +107,12 @@ def main() -> int:
 
     work = args.workdir or tempfile.mkdtemp(prefix="crfr_soak_")
     os.makedirs(work, exist_ok=True)
-    pack = os.path.join(work, "train.crfrpack")
+    pack = os.path.join(work, f"train_{args.fmt}.crfrpack")
     ebin = os.path.join(work, "pairs.bin")
     t0 = time.perf_counter()
     if not os.path.exists(pack):
-        _build_pack(pack, args.classes, args.per_class, args.image_size)
+        _build_pack(pack, args.classes, args.per_class, args.image_size,
+                    fmt=args.fmt)
     if not os.path.exists(ebin):
         _build_eval_bin(ebin, args.classes, args.image_size)
     t_fixture = time.perf_counter() - t0
@@ -207,6 +226,7 @@ def main() -> int:
         "metric": "soak_fit_imgs_per_sec",
         "steps": args.steps,
         "batch": args.batch,
+        "fmt": args.fmt,
         "fit_imgs_per_sec": round(fit_ips, 1),
         "step_only_imgs_per_sec": round(step_res.imgs_per_sec, 1),
         "fit_over_step": round(fit_ips / step_res.imgs_per_sec, 3),
