@@ -142,3 +142,45 @@ def test_sharded_ce_label_on_every_shard(rng):
     ls = float(loss_sharded(jnp.asarray(emb), jnp.asarray(labels), jnp.asarray(w)))
     ld = float(dense(jnp.asarray(emb), jnp.asarray(labels), jnp.asarray(w)))
     assert abs(ls - ld) < 1e-4
+
+
+@pytest.mark.slow
+def test_partialfc_ms1m_class_count(rng):
+    """BASELINE config 5's class count (C=85742) through the class-sharded
+    PartialFC CE on the 8-way model mesh: loss and gradients must match the
+    streaming flash-softmax golden (the single-chip implementation measured
+    in BASELINE.md §ms1m-scale), with the class axis padded to the mesh
+    multiple and ghost classes masked via num_valid."""
+    from crfr.losses.arcface import streaming_margin_ce
+    from crfr.parallel.mesh import pad_to_multiple
+
+    mesh = make_mesh(MeshCfg(data=1, model=8))
+    B, D, C = 16, 512, 85742
+    c_pad = pad_to_multiple(C, 8)
+    assert c_pad % 8 == 0 and c_pad >= C
+    emb = rng.normal(0, 1, (B, D)).astype(np.float32)
+    w = rng.normal(0, 1, (D, c_pad)).astype(np.float32)
+    labels = np.concatenate([
+        rng.integers(0, C, B - 3),
+        [0, C - 1, C // 2],                    # shard-boundary coverage
+    ]).astype(np.int32)
+
+    loss_sharded = sharded_margin_ce(mesh, num_valid=C)
+
+    def stream(emb, labels, w):
+        return streaming_margin_ce(emb, w, labels, num_valid=C)
+
+    je, jl, jw = jnp.asarray(emb), jnp.asarray(labels), jnp.asarray(w)
+    ls = float(loss_sharded(je, jl, jw))
+    lg = float(stream(je, jl, jw))
+    assert abs(ls - lg) < 1e-4, (ls, lg)
+
+    gs = jax.grad(loss_sharded, argnums=(0, 2))(je, jl, jw)
+    gg = jax.grad(stream, argnums=(0, 2))(je, jl, jw)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gg[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gg[1]),
+                               atol=2e-5)
+    # ghost classes (C..c_pad) must receive zero gradient
+    tail = np.asarray(gs[1])[:, C:]
+    assert np.abs(tail).max() == 0.0
