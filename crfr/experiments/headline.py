@@ -66,7 +66,15 @@ class HeadlineCfg:
     distill_steps: int = 800
     lr_teacher: float = 0.1
     lr_student: float = 0.05
-    kd_weight: float = 16.0
+    # KD weight on RAW-feature L2 (the paper's formulation). Balance it
+    # against CE: teacher embeddings carry ‖t‖ ≈ 20, so the raw distance
+    # starts near ‖t‖² ≈ 450/example — at λ=16 the KD gradient drowns CE
+    # and SGD(0.05)+momentum overshoots the stiff quadratic into NaN
+    # (observed at recorded scale, r4). λ=0.05 puts the initial KD term at
+    # ≈1.5× CE; with grad clipping both terms descend to convergence
+    # (sweep: CE 14.3→0.007, raw ‖(s+r)−t‖² → 18 in 400 steps).
+    kd_weight: float = 0.05
+    grad_clip: float = 5.0
     probe_sizes: tuple[int, ...] = (16, 8)
     # eval
     n_pairs: int = 256            # per polarity (512 verification pairs)
@@ -98,6 +106,7 @@ def _cfg(h: HeadlineCfg, *, num_classes: int, degrade: int | None,
         train=TrainCfg(batch_size=h.batch_size, lr=lr,
                        warmup_steps=max(steps // 10, 1), schedule="step",
                        lr_drop_epochs=(), weight_decay=5e-4,
+                       grad_clip_norm=h.grad_clip,
                        seed=h.seed, log_every=h.log_every,
                        eval_every_steps=10 ** 9,
                        checkpoint_every_steps=10 ** 9,
