@@ -113,6 +113,220 @@ def load_bank(path: str) -> QuantBank:
 
 
 # ---------------------------------------------------------------------------
+# Bank lifecycle — enroll/remove without recalibration
+# ---------------------------------------------------------------------------
+#
+# Per-ROW quantization makes lifecycle ops exact: a row's (q, scale) depends
+# only on that row, so appending rows is a concatenation of independently
+# quantized rows (bitwise what a from-scratch rebuild of the union produces)
+# and removing rows never perturbs the remaining ones. A per-TENSOR-scaled
+# bank would need a global recalibration on every enroll; this is why the
+# format is per-row.
+
+
+def append_bank(bank: QuantBank, emb, labels=None) -> QuantBank:
+    """Enroll rows into a host bank: quantize the new embeddings with the
+    standard per-row recipe and concatenate. Bitwise identical to
+    ``quantize_bank`` of the concatenated float embeddings (pinned by
+    tests). ``labels`` default to fresh row indices past the current max."""
+    q, scale = _quantize_rows(emb)
+    if labels is None:
+        start = int(bank.labels.max(initial=-1)) + 1
+        labels = np.arange(start, start + q.shape[0])
+    labels = np.asarray(labels, np.int64)
+    if labels.shape != (q.shape[0],):
+        raise ValueError(f"labels {labels.shape} != rows ({q.shape[0]},)")
+    return QuantBank(q=np.concatenate([np.asarray(bank.q), q]),
+                     scale=np.concatenate([np.asarray(bank.scale), scale]),
+                     labels=np.concatenate([np.asarray(bank.labels), labels]))
+
+
+def remove_bank(bank: QuantBank, labels) -> QuantBank:
+    """Drop every row whose label is in ``labels`` (host bank, compacting).
+    Remaining rows are untouched — per-row scales need no recalibration."""
+    rm = np.unique(np.asarray(labels, np.int64))
+    keep = ~np.isin(np.asarray(bank.labels), rm)
+    return QuantBank(q=np.asarray(bank.q)[keep],
+                     scale=np.asarray(bank.scale)[keep],
+                     labels=np.asarray(bank.labels)[keep])
+
+
+def _pow2_bucket(n: int, floor: int = 8) -> int:
+    return 1 << max(floor.bit_length() - 1, (n - 1).bit_length())
+
+
+@partial(jax.jit, static_argnames=())
+def _write_rows_jit(q, sc, lbl, rows, rsc, rlbl, start):
+    """Write a row block at a TRACED offset — one compiled program per
+    (capacity, block-bucket) pair serves every enroll at any offset.
+    NOT donated: concurrent scan threads may still hold the old arrays
+    (donation would delete their buffers under them); enrolls pay one
+    O(capacity) copy, which is the right trade at serving mutation rates."""
+    return (jax.lax.dynamic_update_slice(q, rows, (start, 0)),
+            jax.lax.dynamic_update_slice(sc, rsc, (start,)),
+            jax.lax.dynamic_update_slice(lbl, rlbl, (start,)))
+
+
+@jax.jit
+def _kill_rows_jit(sc, lbl, rm):
+    """Tombstone every LIVE row whose label is in ``rm`` (scale→0,
+    label→−1 — the scan's existing padding mask). ``rm`` is pow2-padded
+    with −1; the ``lbl >= 0`` guard keeps pads/prior tombstones out of
+    the returned newly-killed count."""
+    dead = (lbl[:, None] == rm[None, :]).any(axis=1) & (lbl >= 0)
+    return (jnp.where(dead, jnp.float32(0), sc),
+            jnp.where(dead, -1, lbl).astype(lbl.dtype),
+            dead.sum())
+
+
+class ServingBank:
+    """Capacity-padded device-resident bank with ONLINE enroll/remove.
+
+    TPU serving reality: the scan programs are compiled for a static bank
+    shape, so a naive "append a row" changes M and recompiles every
+    matcher (seconds on the tunnel). This class pre-pads the bank to a
+    slab-rounded ``capacity``; empty slots carry scale 0 / label −1 —
+    exactly the padding convention every scan path already masks to −inf —
+    so the SAME compiled scan keeps serving across mutations:
+
+    - ``enroll``: rows are pow2-bucketed and written with one jitted
+      ``dynamic_update_slice`` at a traced offset → a handful of compiled
+      programs total, none per-request. Bucket pad rows land dead (label
+      −1) in the free region and are overwritten by the next enroll.
+    - ``remove``: labels are tombstoned in place (no compaction — order
+      and capacity are stable, the mask hides them).
+    - Scans cost O(capacity) not O(live); slab rounding bounds the waste.
+    - Mutations build NEW device arrays (no donation) under a lock;
+      concurrent match threads keep whatever consistent snapshot they
+      fetched — no deleted-buffer hazard, at one transient capacity-sized
+      copy per mutation.
+
+    Duck-types ``QuantBank`` (``.q/.scale/.labels/__len__``) so
+    ``topk_matches_bank`` and the HTTP daemon work unchanged; ``__len__``
+    reports LIVE rows.
+    """
+
+    SLAB = 65536
+
+    def __init__(self, q, scale, labels, size: int, device=None):
+        import threading
+
+        self._lock = threading.RLock()
+        self._dev = device if device is not None else jax.devices()[0]
+        self._slab = self.SLAB
+        self.q = jax.device_put(q, self._dev)
+        self.scale = jax.device_put(scale, self._dev)
+        self.labels = jax.device_put(labels, self._dev)
+        self.size = int(size)          # high-water mark (incl. tombstones)
+        self._dead = 0                 # tombstoned rows below the mark
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def from_bank(cls, bank: QuantBank, capacity: int = 0, slab: int = 0,
+                  device=None) -> "ServingBank":
+        """Wrap a host ``QuantBank``, padding to ``capacity`` (rounded up
+        to whole slabs; default one spare slab past the current rows)."""
+        slab = int(slab) or cls.SLAB
+        m, d = np.asarray(bank.q).shape
+        cap = max(int(capacity), m + 1)
+        cap = -(-cap // slab) * slab
+        q = np.zeros((cap, d), np.int8)
+        sc = np.zeros(cap, np.float32)
+        lbl = np.full(cap, -1, np.int64)
+        q[:m], sc[:m], lbl[:m] = bank.q, bank.scale, bank.labels
+        sb = cls(q, sc, lbl, size=m, device=device)
+        sb._slab = slab
+        return sb
+
+    # -- introspection ----------------------------------------------------
+    def __len__(self) -> int:
+        return self.size - self._dead
+
+    @property
+    def capacity(self) -> int:
+        return int(self.q.shape[0])
+
+    def snapshot(self) -> QuantBank:
+        """Compacted host copy (live rows only, original order) — what
+        ``save_bank`` persists."""
+        with self._lock:
+            q, sc, lbl = (np.asarray(self.q), np.asarray(self.scale),
+                          np.asarray(self.labels))
+        keep = lbl >= 0
+        return QuantBank(q=q[keep], scale=sc[keep], labels=lbl[keep])
+
+    # -- mutation ---------------------------------------------------------
+    def enroll(self, emb, labels=None) -> int:
+        """Quantize + write new rows; returns the new live count. Grows
+        (rebuild + natural scan recompile) only when a slab fills."""
+        rows, rsc = _quantize_rows(emb)
+        n = rows.shape[0]
+        if labels is None:
+            with self._lock:
+                start_lbl = int(np.asarray(self.labels).max(initial=-1)) + 1
+            labels = np.arange(start_lbl, start_lbl + n)
+        rlbl = np.asarray(labels, np.int64)
+        if rlbl.shape != (n,):
+            raise ValueError(f"labels {rlbl.shape} != rows ({n},)")
+        b = _pow2_bucket(n)
+        pad = b - n
+        if pad:
+            rows = np.concatenate([rows, np.zeros((pad, rows.shape[1]),
+                                                  np.int8)])
+            rsc = np.concatenate([rsc, np.zeros(pad, np.float32)])
+            rlbl = np.concatenate([rlbl, np.full(pad, -1, np.int64)])
+        with self._lock:
+            if self.size + b > self.capacity:
+                self._grow(self.size + b)
+            self.q, self.scale, self.labels = _write_rows_jit(
+                self.q, self.scale, self.labels, rows, rsc, rlbl,
+                jnp.int32(self.size))
+            self.size += n
+            return len(self)
+
+    def remove(self, labels) -> int:
+        """Tombstone rows by label (in place, no recompile); returns the
+        number of rows removed."""
+        rm = np.unique(np.asarray(labels, np.int64))
+        rm = rm[rm >= 0]                       # −1 is the tombstone marker
+        if rm.size == 0:
+            return 0
+        b = _pow2_bucket(rm.shape[0])
+        if b != rm.shape[0]:
+            rm = np.concatenate([rm, np.full(b - rm.shape[0], -1, np.int64)])
+        with self._lock:
+            self.scale, self.labels, killed = _kill_rows_jit(
+                self.scale, self.labels, jnp.asarray(rm))
+            removed = int(killed)
+            self._dead += removed
+            return removed
+
+    def view(self) -> QuantBank:
+        """Consistent (q, scale, labels) snapshot for scans: mutations
+        replace all three fields together under the lock, so a match
+        thread must fetch them together too (``topk_matches_bank`` calls
+        this automatically). The returned arrays are the live device
+        buffers — immutable, never donated — so the view stays valid
+        even if a mutation lands right after."""
+        with self._lock:
+            return QuantBank(q=self.q, scale=self.scale, labels=self.labels)
+
+    def _grow(self, need: int) -> None:
+        slab = getattr(self, "_slab", self.SLAB)
+        cap = -(-max(need, self.capacity + 1) // slab) * slab
+        q = np.zeros((cap, self.q.shape[1]), np.int8)
+        sc = np.zeros(cap, np.float32)
+        lbl = np.full(cap, -1, np.int64)
+        m = self.size
+        q[:m] = np.asarray(self.q)[:m]
+        sc[:m] = np.asarray(self.scale)[:m]
+        lbl[:m] = np.asarray(self.labels)[:m]
+        self.q = jax.device_put(q, self._dev)
+        self.scale = jax.device_put(sc, self._dev)
+        self.labels = jax.device_put(lbl, self._dev)
+
+
+# ---------------------------------------------------------------------------
 # Quantized streaming / sharded top-k (mirrors identification.streaming_topk)
 # ---------------------------------------------------------------------------
 
