@@ -992,11 +992,14 @@ def cmd_serve_http(args, extra) -> int:
 
     srv = serve_artifact(args.artifact, gallery_npz=args.gallery_npz,
                          host=args.host, port=args.port,
-                         window_ms=args.window_ms)
+                         window_ms=args.window_ms,
+                         mutable=args.mutable_gallery,
+                         slab=args.gallery_slab)
     host, port = srv.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}",
                       "artifact": args.artifact,
-                      "gallery": bool(args.gallery_npz)}), flush=True)
+                      "gallery": bool(args.gallery_npz),
+                      "mutable": args.mutable_gallery}), flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -1270,6 +1273,14 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--window-ms", type=float, default=2.0,
                    help="request-coalescing window")
+    p.add_argument("--mutable-gallery", action="store_true",
+                   help="serve the bank as a capacity-padded ServingBank: "
+                        "online POST /enroll and /remove (tombstones), "
+                        "GET /gallery snapshot — no per-mutation scan "
+                        "recompiles")
+    p.add_argument("--gallery-slab", type=int, default=0,
+                   help="capacity rounding slab for --mutable-gallery "
+                        "(default ServingBank.SLAB=65536)")
     p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("bench")

@@ -61,11 +61,28 @@ class QuantBank:
         Serving daemons MUST do this once at startup: every scan API
         accepts host arrays, but a host-resident bank is re-uploaded
         H2D on every call — at 512 MB per 1M rows that transfer, not
-        the 6.6 ms scan, would dominate per-request latency."""
+        the 6.6 ms scan, would dominate per-request latency.
+
+        NOTE: `jax.device_put` canonicalizes int64→int32 under default
+        jax config, so device-resident labels are int32. `_check_label_range`
+        rejects labels ≥ 2³¹ up front (silent truncation otherwise);
+        host-side APIs (`snapshot`, `load_bank`) restore int64."""
         dev = device if device is not None else jax.devices()[0]
+        _check_label_range(self.labels)
         return QuantBank(q=jax.device_put(self.q, dev),
                          scale=jax.device_put(self.scale, dev),
                          labels=jax.device_put(self.labels, dev))
+
+
+def _check_label_range(labels) -> None:
+    """Device residency narrows labels to int32 (x64 disabled by default);
+    refuse labels that would silently truncate rather than wrap them."""
+    lbl = np.asarray(labels)
+    if lbl.size and (int(lbl.max()) >= 2 ** 31 or int(lbl.min()) < -2 ** 31):
+        raise ValueError(
+            "labels exceed int32 range: device-resident banks store labels "
+            "as int32 (jax canonicalizes int64 with x64 disabled); relabel "
+            "below 2**31 or keep the bank host-resident")
 
 
 def quantize_probes(probe_emb) -> tuple[jax.Array, jax.Array]:
@@ -128,7 +145,8 @@ def append_bank(bank: QuantBank, emb, labels=None) -> QuantBank:
     """Enroll rows into a host bank: quantize the new embeddings with the
     standard per-row recipe and concatenate. Bitwise identical to
     ``quantize_bank`` of the concatenated float embeddings (pinned by
-    tests). ``labels`` default to fresh row indices past the current max."""
+    ``tests/test_bank_lifecycle.py``). ``labels`` default to fresh row
+    indices past the current max."""
     q, scale = _quantize_rows(emb)
     if labels is None:
         start = int(bank.labels.max(initial=-1)) + 1
@@ -214,6 +232,11 @@ class ServingBank:
         self._lock = threading.RLock()
         self._dev = device if device is not None else jax.devices()[0]
         self._slab = self.SLAB
+        _check_label_range(labels)
+        # host-tracked max live label: auto-label enrolls read it under
+        # the mutation lock (no per-enroll D2H of the whole label array,
+        # no race between label minting and the write)
+        self._max_label = int(np.asarray(labels).max(initial=-1))
         self.q = jax.device_put(q, self._dev)
         self.scale = jax.device_put(scale, self._dev)
         self.labels = jax.device_put(labels, self._dev)
@@ -248,41 +271,52 @@ class ServingBank:
 
     def snapshot(self) -> QuantBank:
         """Compacted host copy (live rows only, original order) — what
-        ``save_bank`` persists."""
+        ``save_bank`` persists. Labels are widened back to int64
+        (device residency narrows them to int32; see
+        ``QuantBank.to_device``) so the host-bank contract holds."""
         with self._lock:
             q, sc, lbl = (np.asarray(self.q), np.asarray(self.scale),
                           np.asarray(self.labels))
         keep = lbl >= 0
-        return QuantBank(q=q[keep], scale=sc[keep], labels=lbl[keep])
+        return QuantBank(q=q[keep], scale=sc[keep],
+                         labels=lbl[keep].astype(np.int64))
 
     # -- mutation ---------------------------------------------------------
-    def enroll(self, emb, labels=None) -> int:
-        """Quantize + write new rows; returns the new live count. Grows
-        (rebuild + natural scan recompile) only when a slab fills."""
+    def enroll(self, emb, labels=None) -> np.ndarray:
+        """Quantize + write new rows; returns the (n,) int64 labels
+        actually assigned (the live count is ``len(bank)``). Grows
+        (rebuild + natural scan recompile) only when a slab fills.
+        Auto-labels (``labels=None``) are minted from the host-tracked
+        max under the SAME lock as the write, so concurrent auto-label
+        enrolls can never mint duplicates."""
         rows, rsc = _quantize_rows(emb)
         n = rows.shape[0]
-        if labels is None:
-            with self._lock:
-                start_lbl = int(np.asarray(self.labels).max(initial=-1)) + 1
-            labels = np.arange(start_lbl, start_lbl + n)
-        rlbl = np.asarray(labels, np.int64)
-        if rlbl.shape != (n,):
-            raise ValueError(f"labels {rlbl.shape} != rows ({n},)")
-        b = _pow2_bucket(n)
-        pad = b - n
-        if pad:
-            rows = np.concatenate([rows, np.zeros((pad, rows.shape[1]),
-                                                  np.int8)])
-            rsc = np.concatenate([rsc, np.zeros(pad, np.float32)])
-            rlbl = np.concatenate([rlbl, np.full(pad, -1, np.int64)])
+        if labels is not None:
+            rlbl = np.asarray(labels, np.int64)
+            if rlbl.shape != (n,):
+                raise ValueError(f"labels {rlbl.shape} != rows ({n},)")
+            _check_label_range(rlbl)
         with self._lock:
+            if labels is None:
+                start_lbl = self._max_label + 1
+                rlbl = np.arange(start_lbl, start_lbl + n, dtype=np.int64)
+                _check_label_range(rlbl)
+            self._max_label = max(self._max_label,
+                                  int(rlbl.max(initial=-1)))
+            b = _pow2_bucket(n)
+            pad = b - n
+            if pad:
+                rows = np.concatenate([rows, np.zeros((pad, rows.shape[1]),
+                                                      np.int8)])
+                rsc = np.concatenate([rsc, np.zeros(pad, np.float32)])
+                rlbl = np.concatenate([rlbl, np.full(pad, -1, np.int64)])
             if self.size + b > self.capacity:
                 self._grow(self.size + b)
             self.q, self.scale, self.labels = _write_rows_jit(
                 self.q, self.scale, self.labels, rows, rsc, rlbl,
                 jnp.int32(self.size))
             self.size += n
-            return len(self)
+            return rlbl[:n].copy()
 
     def remove(self, labels) -> int:
         """Tombstone rows by label (in place, no recompile); returns the
@@ -446,6 +480,12 @@ def topk_matches_bank(probe_emb, bank: QuantBank, k: int,
     pipeline improves."""
     from crfr.eval.identification import _auto_block
 
+    view = getattr(bank, "view", None)
+    if callable(view):
+        # ServingBank: fetch (q, scale, labels) as ONE locked snapshot —
+        # three separate attribute reads could straddle a concurrent
+        # enroll's _grow and observe a torn mixed-capacity triple
+        bank = view()
     q = jnp.asarray(bank.q)
     sc = jnp.asarray(bank.scale)
     lbl = jnp.asarray(bank.labels)

@@ -12,6 +12,22 @@
                            JSON top-k labels+scores per probe against the
                            loaded int8 QuantBank (``eval/bank.py``).
 
+With ``--mutable-gallery`` the bank is a capacity-padded ``ServingBank``
+(online lifecycle, no per-mutation scan recompiles) and three more
+endpoints activate:
+
+- ``POST /enroll[?labels=7,8]`` → body: ``.npy`` pixels (4-d) or
+                           embeddings (2-d); rows are row-quantized and
+                           written in place; labels auto-mint past the
+                           current max when omitted. Response: JSON
+                           ``{enrolled, labels, gallery}``.
+- ``POST /remove?labels=3,4`` → tombstone rows by label (scale→0,
+                           label→−1 — the scan's padding mask); response
+                           JSON ``{removed, gallery}``.
+- ``GET  /gallery``      → compacted ``.npz`` snapshot bytes (what
+                           ``save_bank`` persists) — enroll online, then
+                           fetch the bank for durable storage.
+
 Design notes (TPU serving realities the stack is built around):
 
 - The artifact's compiled program has ONE static batch size (XLA static
@@ -160,10 +176,25 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
             self._send(code, json.dumps({"error": msg}).encode())
 
         def do_GET(self):
-            if urlparse(self.path).path != "/healthz":
+            path = urlparse(self.path).path
+            if path == "/gallery":
+                if bank is None:
+                    return self._fail(400, "no gallery bank loaded")
+                from crfr.eval.bank import QuantBank
+                snap = (bank.snapshot() if hasattr(bank, "snapshot")
+                        else QuantBank(q=np.asarray(bank.q),
+                                       scale=np.asarray(bank.scale),
+                                       labels=np.asarray(bank.labels,
+                                                         np.int64)))
+                buf = io.BytesIO()
+                np.savez(buf, q=snap.q, scale=snap.scale, labels=snap.labels)
+                return self._send(200, buf.getvalue(),
+                                  "application/octet-stream")
+            if path != "/healthz":
                 return self._fail(404, "unknown path")
             info = {"ok": True, "meta": meta,
                     "gallery": (len(bank) if bank is not None else 0),
+                    "mutable": hasattr(bank, "enroll"),
                     "dispatches": service.dispatches}
             self._send(200, json.dumps(info).encode())
 
@@ -171,12 +202,57 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
 
+        def _parse_labels(self, qs) -> np.ndarray | None:
+            raw = qs.get("labels", [""])[0]
+            if not raw:
+                return None
+            return np.asarray([int(v) for v in raw.split(",") if v],
+                              np.int64)
+
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path == "/remove":
+                # no .npy body — labels come from the query string
+                if not hasattr(bank, "remove"):
+                    return self._fail(400, "gallery is not mutable "
+                                           "(start with --mutable-gallery)")
+                self._body()                     # drain any body bytes
+                try:
+                    rm = self._parse_labels(parse_qs(parsed.query))
+                    if rm is None or rm.size == 0:
+                        return self._fail(400, "need ?labels=1,2,...")
+                    removed = bank.remove(rm)
+                except Exception as e:           # noqa: BLE001
+                    return self._fail(500, str(e))
+                return self._send(200, json.dumps(
+                    {"removed": removed, "gallery": len(bank)}).encode())
             try:
                 arr = _load_npy(self._body())
             except Exception as e:               # noqa: BLE001
                 return self._fail(400, f"body must be .npy bytes: {e}")
+            if parsed.path == "/enroll":
+                if not hasattr(bank, "enroll"):
+                    return self._fail(400, "gallery is not mutable "
+                                           "(start with --mutable-gallery)")
+                qs = parse_qs(parsed.query)
+                try:
+                    labels = self._parse_labels(qs)
+                    if arr.ndim == 4:            # raw pixels → embed first
+                        want = np.dtype(meta.get("input_dtype", "uint8"))
+                        arr = service.submit(arr.astype(want, copy=False))
+                    if arr.ndim != 2:
+                        return self._fail(400, f"bad rows shape {arr.shape}")
+                    if labels is not None and labels.shape[0] != arr.shape[0]:
+                        return self._fail(400, f"{labels.shape[0]} labels "
+                                               f"for {arr.shape[0]} rows")
+                    got = bank.enroll(np.asarray(arr, np.float32),
+                                      labels=labels)
+                except Exception as e:           # noqa: BLE001
+                    return self._fail(500, str(e))
+                return self._send(200, json.dumps(
+                    {"enrolled": int(arr.shape[0]),
+                     "labels": [int(v) for v in got],
+                     "gallery": len(bank)}).encode())
             if parsed.path == "/embed":
                 want_s = int(meta.get("image_size", 0))
                 if arr.ndim != 4 or (want_s and
@@ -251,15 +327,35 @@ def make_server(fn: Callable, meta: dict, host: str = "127.0.0.1",
 
 def serve_artifact(artifact: str, gallery_npz: str = "",
                    host: str = "127.0.0.1", port: int = 0,
-                   window_ms: float = 2.0) -> ThreadingHTTPServer:
-    """Load an AOT artifact (+ optional bank) and return a ready server."""
+                   window_ms: float = 2.0, mutable: bool = False,
+                   slab: int = 0) -> ThreadingHTTPServer:
+    """Load an AOT artifact (+ optional bank) and return a ready server.
+
+    ``mutable=True`` wraps the gallery in a capacity-padded
+    ``ServingBank`` (online /enroll and /remove without per-mutation
+    scan recompiles); without a ``gallery_npz`` it starts empty at the
+    artifact's embedding dim. ``slab`` overrides the capacity-rounding
+    slab (ServingBank.SLAB=65536 default — small daemons can shrink it)."""
     from crfr.serve import load_embed
 
     fn = load_embed(artifact)
     bank = None
     if gallery_npz:
         from crfr.eval.bank import load_bank
-        # device-resident: a host bank would re-upload H2D per request
-        bank = load_bank(gallery_npz).to_device()
+        host_bank = load_bank(gallery_npz)
+        if mutable:
+            from crfr.eval.bank import ServingBank
+            bank = ServingBank.from_bank(host_bank, slab=slab)
+        else:
+            # device-resident: a host bank would re-upload H2D per request
+            bank = host_bank.to_device()
+    elif mutable:
+        import numpy as _np
+        from crfr.eval.bank import QuantBank, ServingBank
+        d = int(fn.meta.get("embedding_dim", 512))
+        empty = QuantBank(q=_np.zeros((0, d), _np.int8),
+                          scale=_np.zeros(0, _np.float32),
+                          labels=_np.zeros(0, _np.int64))
+        bank = ServingBank.from_bank(empty, slab=slab)
     return make_server(fn, fn.meta, host=host, port=port, bank=bank,
                        window_ms=window_ms)
