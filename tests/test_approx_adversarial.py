@@ -21,6 +21,10 @@ strides and assert the GUARANTEES (1, 2, and that 0.999 rescues every
 swept layout), while the default-target collapse is only reported.
 """
 
+import os
+import subprocess
+import sys
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -125,14 +129,49 @@ def test_high_recall_target_defeats_aliasing(rng):
     if not _binned_lowering():
         pytest.skip("approx_max_k lowers to exact top-k in this env "
                     "(guarantees above still asserted; collapse "
-                    "unreachable) — run with JAX_PLATFORMS=cpu or on TPU "
-                    f"for the binned path; worst default {worst_default}")
+                    "unreachable in-process) — the binned-path collapse "
+                    "IS pinned every run by "
+                    "test_collapse_and_rescue_pinned_in_subprocess on the "
+                    f"real chip; worst default here {worst_default}")
     # binned lowering: the sweep is adversarial by construction; if a
     # future bin layout makes every stride safe, re-derive the aliasing
     # layout rather than deleting the guarantee above
     assert worst_default < 0.9, (
         f"no swept stride was adversarial (worst default recall "
         f"{worst_default}); re-derive the aliasing layout for this backend")
+
+
+def test_collapse_and_rescue_pinned_in_subprocess():
+    """r4 VERDICT Next #5: the default-target stride-aliasing COLLAPSE
+    (and its 0.999 rescue) must execute in every suite run, not only
+    out-of-band. This suite's conftest selects CPU in-process, and on
+    this jax version EVERY CPU selection lowers approx_max_k to exact
+    top-k (verified: in-process config update AND env JAX_PLATFORMS=cpu
+    without the axon plugin both give recall 1.0 at all strides) — the
+    binned PartialReduce is the TPU lowering. So the collapse is
+    exercised in a child process on the sandbox's default backend (the
+    real chip), same subprocess pattern as tests/test_multihost.py.
+    Skips only when no TPU is attached (pure-CPU dev box)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_approx_worker.py")
+    out = subprocess.run([sys.executable, worker], cwd=repo,
+                         env=dict(os.environ),
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    vals = dict(line.split(None, 1) for line in out.stdout.splitlines()
+                if line.split(None, 1)[0] in ("BACKEND", "BINNED",
+                                              "WORST", "RESCUE"))
+    if vals.get("BACKEND") != "tpu":
+        pytest.skip(f"no TPU backend in subprocess (got "
+                    f"{vals.get('BACKEND')}); the binned lowering — and "
+                    "the collapse — is unreachable on this host")
+    assert vals["BINNED"] == "True", (
+        "TPU no longer lowers approx_max_k to the binned reduction — "
+        f"re-derive where the collapse is reachable ({out.stdout!r})")
+    assert float(vals["WORST"]) < 0.9, (
+        "no swept stride collapsed at the default recall target — "
+        "re-derive the aliasing layout for this backend's bin count")
+    assert float(vals["RESCUE"]) == 1.0, vals
 
 
 def test_float_recall_flag_through_dispatchers(rng):
