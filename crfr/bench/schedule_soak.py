@@ -45,8 +45,8 @@ import time
 # ---------------------------------------------------------------------------
 
 def build_fixtures(workdir: str, *, ids: int, train_ids: int, per_id: int,
-                   image_size: int, n_pairs: int, seed: int = 0
-                   ) -> tuple[str, str]:
+                   image_size: int, n_pairs: int, seed: int = 0,
+                   hard: float = 1.0) -> tuple[str, str]:
     """Render (cached) the packed train set and the eval ``.bin``.
 
     Train records cover identities [0, train_ids) — ``per_id`` nuisance
@@ -60,11 +60,13 @@ def build_fixtures(workdir: str, *, ids: int, train_ids: int, per_id: int,
     from crfr.data.render import RenderedIdentities
 
     os.makedirs(workdir, exist_ok=True)
-    pack = os.path.join(workdir, "train_hard.crfrpack")
-    ebin = os.path.join(workdir, "pairs_heldout.bin")
+    # hardness is baked into the rendered pixels → into the cache key
+    tag = f"_h{hard:g}" if hard else ""
+    pack = os.path.join(workdir, f"train_hard{tag}.crfrpack")
+    ebin = os.path.join(workdir, f"pairs_heldout{tag}.bin")
     faces = None
     if not os.path.exists(pack):
-        faces = RenderedIdentities(ids, image_size, seed=seed)
+        faces = RenderedIdentities(ids, image_size, seed=seed, hard=hard)
         rng = np.random.default_rng(seed + 1)
 
         def records():
@@ -77,7 +79,8 @@ def build_fixtures(workdir: str, *, ids: int, train_ids: int, per_id: int,
         print(f"# pack: {train_ids}x{per_id} hard renders in "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
     if not os.path.exists(ebin):
-        faces = faces or RenderedIdentities(ids, image_size, seed=seed)
+        faces = faces or RenderedIdentities(ids, image_size, seed=seed,
+                                            hard=hard)
         i1, i2, issame = faces.eval_pairs(
             np.random.default_rng(seed + 2), n_pairs,
             id_range=(train_ids, ids))
@@ -263,6 +266,10 @@ def main(argv=None) -> int:
     ap.add_argument("--drop-epochs", default="3,4")
     ap.add_argument("--recycle-every", type=int, default=450)
     ap.add_argument("--n-pairs", type=int, default=500)
+    ap.add_argument("--hard", type=float, default=1.0,
+                    help="renderer HR-nuisance intensity (occlusion/blur/"
+                         "JPEG/pose; 0 = the pre-r5 easy HR regime where "
+                         "held-out eval saturates at 0.999)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -287,7 +294,7 @@ def main(argv=None) -> int:
         pack, ebin = build_fixtures(
             args.workdir, ids=args.ids, train_ids=args.train_ids,
             per_id=args.per_id, image_size=args.image_size,
-            n_pairs=args.n_pairs, seed=args.seed)
+            n_pairs=args.n_pairs, seed=args.seed, hard=args.hard)
         rc = run_training(
             args.workdir, pack, ebin, backbone=args.backbone,
             image_size=args.image_size, num_classes=args.train_ids,
@@ -304,7 +311,7 @@ def main(argv=None) -> int:
            "n_train_imgs": n_train, "steps_per_epoch": spe,
            "epochs": args.epochs, "batch": args.batch,
            "backbone": args.backbone, "warmup_steps": args.warmup_steps,
-           "drop_epochs": list(drops),
+           "drop_epochs": list(drops), "hard": args.hard,
            **analyze(args.workdir, steps_per_epoch=spe, epochs=args.epochs,
                      lr=args.lr, warmup_steps=args.warmup_steps,
                      drop_epochs=drops)}

@@ -12,13 +12,34 @@ cross-resolution setting cares about varies per sample:
 - background: smooth random gradients behind the head,
 - sensor noise.
 
+``hard > 0`` (r4 VERDICT Weak #2: the HR regime was too easy — held-out
+verification saturated at 0.999 by epoch 1.5, so LR-schedule effects were
+invisible in the eval trajectory) adds the HR-regime nuisances real
+surveillance/web photos carry, each with probability scaled by ``hard``:
+
+- face-attached occlusion (sunglasses band / lower-face mask / random
+  facial patch), applied BEFORE the pose warp so it rides the head,
+- scene occlusion (a random block anywhere in the crop),
+- motion or defocus blur,
+- JPEG compression artifacts (real PIL encode/decode roundtrip),
+- wider pose: stronger rotation/scale/shift plus a shear term (the
+  in-plane proxy for out-of-plane yaw).
+
+``render(..., return_landmarks=True)`` also returns the 5-point landmarks
+(le, re, nose, lmouth, rmouth — pixel (x, y)) mapped through the SAME
+pose warp: the ground truth the prior estimator (landmark heatmaps +
+parsing maps, ops/heatmaps.py) is supervised with in the headline SR
+stage — the renderer knows its own geometry, so prior supervision needs
+no annotations.
+
 Bicubic degradation to 16 px keeps some geometry but kills the texture;
 8 px destroys most of both — the regime hallucination + residual KD exist
 for (SURVEY.md §3.2/§3.5; the reference's SCface/TinyFace evals are the
 real-data analogs). Used by the headline experiment
 (crfr/experiments/headline.py) and the schedule-realism soak.
 
-Pure NumPy, deterministic under a seeded Generator, no I/O.
+NumPy (+ PIL for the JPEG nuisance), deterministic under a seeded
+Generator, no other I/O.
 """
 
 from __future__ import annotations
@@ -74,6 +95,45 @@ def _affine_sample(img: np.ndarray, mat: np.ndarray, tvec: np.ndarray
             + img[y0 + 1, x0 + 1] * fy * fx).astype(np.float32)
 
 
+def _shift_clamped(img: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Edge-clamped integer shift (no wraparound): used by the blur
+    kernels so crop borders smear instead of leaking the opposite edge."""
+    s = img.shape[0]
+    y = np.clip(np.arange(s) + dy, 0, s - 1)
+    x = np.clip(np.arange(s) + dx, 0, s - 1)
+    return img[y][:, x]
+
+
+def _box3(img: np.ndarray) -> np.ndarray:
+    """3×3 box filter; k applications ≈ Gaussian σ≈0.55·√k (defocus)."""
+    acc = np.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc += _shift_clamped(img, dy, dx)
+    return acc / 9.0
+
+
+def _motion_blur(img: np.ndarray, length: int, dy: int, dx: int
+                 ) -> np.ndarray:
+    acc = np.zeros_like(img)
+    for t in range(length):
+        k = t - length // 2
+        acc += _shift_clamped(img, dy * k, dx * k)
+    return acc / length
+
+
+def _jpeg_roundtrip(img: np.ndarray, quality: int) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    buf = io.BytesIO()
+    im.save(buf, "JPEG", quality=quality)
+    return np.asarray(Image.open(io.BytesIO(buf.getvalue())),
+                      dtype=np.float32)
+
+
 class RenderedIdentities:
     """num_ids procedurally generated identities at image_size².
 
@@ -83,9 +143,11 @@ class RenderedIdentities:
     are taken by index range on one instance instead)."""
 
     def __init__(self, num_ids: int, image_size: int = 112, seed: int = 0,
-                 texture_weight: float = 42.0, fine: int = 24):
+                 texture_weight: float = 42.0, fine: int = 24,
+                 hard: float = 0.0):
         self.num_ids = num_ids
         self.image_size = image_size
+        self.hard = float(hard)          # HR-nuisance intensity, 0 = legacy
         g = np.random.default_rng(seed)
         n = num_ids
         self.geom = {
@@ -157,24 +219,52 @@ class RenderedIdentities:
         img[m] = self.mouth_rgb[i] * rng.uniform(0.85, 1.15)
         return img, head.astype(np.float32)
 
+    # -- face-attached occluders (pre-warp, so they ride the head) -----
+    def _occlude_face(self, face: np.ndarray, i: int,
+                      rng: np.random.Generator) -> None:
+        gm, yy, xx = self.geom, self._yy, self._xx
+        kind = int(rng.integers(3))
+        if kind == 0:                                    # sunglasses band
+            hh = rng.uniform(0.05, 0.09)
+            band = (np.abs(yy - gm["eye_y"][i]) <= hh) & \
+                   (np.abs(xx - 0.5) <= gm["eye_dx"][i] + 0.13)
+            face[band] = rng.uniform(8, 45)
+        elif kind == 1:                                  # mask/scarf
+            top = rng.uniform(gm["nose_y"][i] - 0.04, gm["nose_y"][i] + 0.06)
+            fabric = rng.uniform(40, 220, 3).astype(np.float32)
+            band = yy >= top
+            face[band] = fabric + rng.normal(0, 8, (int(band.sum()), 3))
+        else:                                            # random facial patch
+            cy, cx = rng.uniform(0.3, 0.85), rng.uniform(0.2, 0.8)
+            r = rng.uniform(0.08, 0.16)
+            m = (xx - cx) ** 2 + (yy - cy) ** 2 <= r ** 2
+            face[m] = rng.uniform(10, 230, 3)
+
     # -- one posed/lit sample ------------------------------------------
-    def render(self, i: int, rng: np.random.Generator) -> np.ndarray:
+    def render(self, i: int, rng: np.random.Generator,
+               return_landmarks: bool = False):
         s = self.image_size
+        h = self.hard
         face, mask = self._canonical(i, rng)
-        # pose: rotation + scale + shift (inverse map: out → source coords)
-        th = rng.uniform(-0.22, 0.22)                    # ±12.6°
-        sc = 1.0 / rng.uniform(0.9, 1.1)
+        if h > 0 and rng.uniform() < 0.5 * h:
+            self._occlude_face(face, i, rng)
+        # pose: rotation + scale + shift (+ shear when hard); inverse map:
+        # out → source coords
+        th = rng.uniform(-1, 1) * (0.22 + 0.14 * h)      # ±12.6° … ±20.6°
+        sc = 1.0 / rng.uniform(0.9 - 0.08 * h, 1.1 + 0.14 * h)
+        shear = rng.uniform(-0.16, 0.16) * h             # out-of-plane proxy
         rot = np.asarray([[np.cos(th), -np.sin(th)],
-                          [np.sin(th), np.cos(th)]], np.float32) * sc
+                          [np.sin(th), np.cos(th)]], np.float32)
+        rot = rot @ np.asarray([[1.0, shear], [0.0, 1.0]], np.float32) * sc
         c = (s - 1) / 2.0
-        shift = rng.uniform(-0.05 * s, 0.05 * s, 2)
+        shift = rng.uniform(-1, 1, 2) * (0.05 + 0.03 * h) * s
         t = np.asarray([c, c]) - rot @ np.asarray([c + shift[0],
                                                    c + shift[1]])
         face = _affine_sample(face, rot, t)
         mask = _affine_sample(mask[..., None], rot, t)[..., 0]
         # illumination: directional gradient across the crop + gain/bias
         ldir = rng.uniform(0, 2 * np.pi)
-        lstr = rng.uniform(0.0, 0.35)
+        lstr = rng.uniform(0.0, 0.35 + 0.15 * h)
         light = 1.0 + lstr * ((self._xx - 0.5) * np.cos(ldir)
                               + (self._yy - 0.5) * np.sin(ldir)) * 2
         # strong per-sample photometric jitter incl. per-CHANNEL gain:
@@ -186,13 +276,54 @@ class RenderedIdentities:
         # background: smooth random gradient
         bg = _bilinear_up(rng.uniform(0, 255, (4, 4, 3)), s)
         out = mask[..., None] * face + (1 - mask[..., None]) * bg
+        if h > 0:
+            if rng.uniform() < 0.25 * h:                 # scene occluder
+                oy, ox = rng.integers(0, s, 2)
+                hh, ww = rng.integers(s // 8, s // 3, 2)
+                out[oy:oy + hh, ox:ox + ww] = rng.uniform(0, 255, 3)
+            if rng.uniform() < 0.5 * h:                  # blur
+                if rng.uniform() < 0.5:                  # defocus
+                    for _ in range(int(rng.integers(1, 4))):
+                        out = _box3(out)
+                else:                                    # motion
+                    length = int(rng.choice([3, 5, 7]))
+                    dy, dx = [(0, 1), (1, 0), (1, 1), (1, -1)][
+                        int(rng.integers(4))]
+                    out = _motion_blur(out, length, dy, dx)
         out += rng.normal(0, 5, out.shape)
-        return np.clip(out, 0, 255).astype(np.float32)
+        if h > 0 and rng.uniform() < 0.45 * h:           # JPEG artifacts
+            out = _jpeg_roundtrip(out, int(rng.integers(25, 70)))
+        out = np.clip(out, 0, 255).astype(np.float32)
+        if not return_landmarks:
+            return out
+        # 5-pt landmarks through the SAME warp: the inverse map samples
+        # src = rot @ dst + t, so a canonical (src) point lands at
+        # dst = rot⁻¹ @ (src − t). Canonical coords are face-relative
+        # [0,1]·s in (y, x); returned landmarks are pixel (x, y) in the
+        # (le, re, nose, lmouth, rmouth) order ops/heatmaps.py expects.
+        gm = self.geom
+        ey, edx = gm["eye_y"][i], gm["eye_dx"][i]
+        canon_yx = np.asarray([
+            [ey, 0.5 - edx],                             # left eye
+            [ey, 0.5 + edx],                             # right eye
+            [gm["nose_y"][i], 0.5],                      # nose tip
+            [gm["mouth_y"][i], 0.5 - gm["mouth_w"][i]],  # mouth left
+            [gm["mouth_y"][i], 0.5 + gm["mouth_w"][i]],  # mouth right
+        ], np.float32) * s
+        inv = np.linalg.inv(rot)
+        dst_yx = (canon_yx - t) @ inv.T
+        return out, dst_yx[:, ::-1].astype(np.float32)   # (y,x) → (x,y)
 
     # -- dataset-style samplers ----------------------------------------
-    def sample_for_ids(self, rng: np.random.Generator, ids) -> np.ndarray:
+    def sample_for_ids(self, rng: np.random.Generator, ids,
+                       return_landmarks: bool = False):
         ids = np.asarray(ids)
-        return np.stack([self.render(int(i), rng) for i in ids])
+        if not return_landmarks:
+            return np.stack([self.render(int(i), rng) for i in ids])
+        outs = [self.render(int(i), rng, return_landmarks=True)
+                for i in ids]
+        return (np.stack([o for o, _ in outs]),
+                np.stack([lm for _, lm in outs]))
 
     def sample(self, rng: np.random.Generator, n: int,
                id_range: tuple[int, int] | None = None):

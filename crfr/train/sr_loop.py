@@ -164,35 +164,53 @@ class SRTrainer:
             return jnp.einsum("oi,bijc,pj->bopc", down, hr, down,
                               preferred_element_type=jnp.float32)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def g_step(g_state, g_opt, d_state, hr):
-            gen = nnx.merge(g_graphdef, g_state)
-            disc = nnx.merge(d_graphdef, d_state)
-            lr = degrade(hr)
+        def g_loss_core(gen, disc, hr, lr, prior_t):
+            """Shared G objective; ``prior_t`` is the prior-supervision
+            target array (None disables the term — trace-time constant)."""
+            sr, coarse, priors = gen(lr, train=True)
+            loss = w["px"] * (gl.pixel_loss(sr, hr)
+                              + 0.5 * gl.pixel_loss(coarse, hr))
+            logits = disc(sr, train=False)
+            loss = loss + w["adv"] * gl.adversarial_g_loss(logits, adv_mode)
+            if teacher_fn is not None and w["id"] > 0:
+                loss = loss + w["id"] * gl.identity_loss(
+                    teacher_fn(sr), teacher_fn(hr))
+            if prior_t is not None and w["pr"] > 0:
+                loss = loss + w["pr"] * gl.prior_loss(priors, prior_t)
+            if perceptual_fn is not None and w["pc"] > 0:
+                loss = loss + w["pc"] * gl.perceptual_loss(
+                    perceptual_fn(sr), perceptual_fn(hr))
+            return loss, sr
 
-            def loss_fn(gen):
-                sr, coarse, priors = gen(lr, train=True)
-                loss = w["px"] * (gl.pixel_loss(sr, hr)
-                                  + 0.5 * gl.pixel_loss(coarse, hr))
-                logits = disc(sr, train=False)
-                loss = loss + w["adv"] * gl.adversarial_g_loss(logits, adv_mode)
-                if teacher_fn is not None and w["id"] > 0:
-                    loss = loss + w["id"] * gl.identity_loss(
-                        teacher_fn(sr), teacher_fn(hr))
-                if prior_target_fn is not None and w["pr"] > 0:
-                    loss = loss + w["pr"] * gl.prior_loss(
-                        priors, prior_target_fn(hr))
-                if perceptual_fn is not None and w["pc"] > 0:
-                    loss = loss + w["pc"] * gl.perceptual_loss(
-                        perceptual_fn(sr), perceptual_fn(hr))
-                return loss, sr
-
+        def g_update(gen, g_opt, loss_fn):
             (loss, sr), grads = nnx.value_and_grad(loss_fn, has_aux=True)(gen)
             params = nnx.state(gen, nnx.Param)
             updates, g_opt = g_tx.update(grads, g_opt, params)
             nnx.update(gen, jax.tree_util.tree_map(jnp.add, params, updates))
             _, g_state = nnx.split(gen)
             return g_state, g_opt, loss, jax.lax.stop_gradient(sr)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def g_step(g_state, g_opt, d_state, hr):
+            gen = nnx.merge(g_graphdef, g_state)
+            disc = nnx.merge(d_graphdef, d_state)
+            lr = degrade(hr)
+            pt = prior_target_fn(hr) if prior_target_fn is not None else None
+            return g_update(gen, g_opt,
+                            lambda gen: g_loss_core(gen, disc, hr, lr, pt))
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def g_step_supervised(g_state, g_opt, d_state, hr, prior_t):
+            # per-batch prior targets (landmark heatmaps + parsing maps
+            # from ground-truth landmarks riding with the batch)
+            gen = nnx.merge(g_graphdef, g_state)
+            disc = nnx.merge(d_graphdef, d_state)
+            lr = degrade(hr)
+            return g_update(gen, g_opt,
+                            lambda gen: g_loss_core(gen, disc, hr, lr,
+                                                    prior_t))
+
+        self._g_step_supervised = g_step_supervised
 
         r1_gamma = self.r1_gamma
 
@@ -225,13 +243,41 @@ class SRTrainer:
         return g_step, d_step
 
     # ------------------------------------------------------------------
-    def train_step(self, hr_images) -> dict[str, float]:
+    def prior_targets_from_landmarks(self, landmarks) -> jax.Array:
+        """(B, 5, 2) pixel-coord landmarks → the (B, S, S, n_priors)
+        supervision target: 5 landmark heatmaps ++ 11 parsing maps
+        (n_priors=16, the full FSRNet-style prior) or heatmaps only
+        (n_priors=5). The renderer emits ground-truth landmarks
+        (data/render.py render(return_landmarks=True)); real datasets
+        use their annotations or the MTCNN cascade."""
+        from crfr.ops.heatmaps import landmark_heatmaps, prior_targets
+
+        size = self.cfg.data.image_size
+        lm = jnp.asarray(landmarks, jnp.float32)
+        if self.n_priors == 5:
+            return landmark_heatmaps(lm, size=size)
+        pt = prior_targets(lm, size=size)
+        if pt.shape[-1] != self.n_priors:
+            raise ValueError(
+                f"n_priors={self.n_priors} matches neither heatmaps-only "
+                f"(5) nor heatmaps+parsing ({pt.shape[-1]})")
+        return pt
+
+    def train_step(self, hr_images, landmarks=None) -> dict[str, float]:
         """hr_images: raw pixels (B,S,S,3) uint8/f32; one G step +
-        ``n_d_steps`` D steps (same batch)."""
+        ``n_d_steps`` D steps (same batch). ``landmarks`` (B, 5, 2)
+        pixel coords switch the prior term to per-batch supervised
+        targets (heatmaps + parsing maps) regardless of
+        ``prior_target_fn``."""
         bs = batch_sharding(self.mesh, 4)
         hr = host_put(normalize(jnp.asarray(hr_images, jnp.float32)), bs)
-        self.g_state, self.g_opt, g_loss, sr = self._g_step(
-            self.g_state, self.g_opt, self.d_state, hr)
+        if landmarks is not None:
+            pt = host_put(self.prior_targets_from_landmarks(landmarks), bs)
+            self.g_state, self.g_opt, g_loss, sr = self._g_step_supervised(
+                self.g_state, self.g_opt, self.d_state, hr, pt)
+        else:
+            self.g_state, self.g_opt, g_loss, sr = self._g_step(
+                self.g_state, self.g_opt, self.d_state, hr)
         if self.g_ema is not None:
             self.g_ema = self._ema_step(self.g_ema, self.g_state,
                                         jnp.asarray(self.step, jnp.float32))
