@@ -75,7 +75,10 @@ def build_fixtures(workdir: str, *, ids: int, train_ids: int, per_id: int,
                     yield c, im.astype(np.uint8)
 
         t0 = time.perf_counter()
-        write_pack(pack, records(), fmt="raw")
+        # write-then-rename: a killed build must not leave a truncated
+        # pack at the cached path
+        write_pack(pack + ".tmp", records(), fmt="raw")
+        os.replace(pack + ".tmp", pack)
         print(f"# pack: {train_ids}x{per_id} hard renders in "
               f"{time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True)
     if not os.path.exists(ebin):

@@ -142,6 +142,8 @@ class RenderedIdentities:
     with the same seed render the SAME people (train/eval identity splits
     are taken by index range on one instance instead)."""
 
+    _EAGER_TEX_MAX = 4096            # above: lazy per-render upsampling
+
     def __init__(self, num_ids: int, image_size: int = 112, seed: int = 0,
                  texture_weight: float = 42.0, fine: int = 24,
                  hard: float = 0.0):
@@ -174,8 +176,17 @@ class RenderedIdentities:
                           * g.uniform(0.7, 1.3, (n, 1))).astype(np.float32)
         # per-identity fine skin texture: high-frequency pattern, zero-mean
         tex = g.uniform(-1, 1, (n, fine, fine))
-        self.texture = np.stack([_bilinear_up(t, image_size) for t in tex])
-        self.texture -= self.texture.mean(axis=(1, 2), keepdims=True)
+        if n <= self._EAGER_TEX_MAX:
+            self.texture = np.stack([_bilinear_up(t, image_size)
+                                     for t in tex])
+            self.texture -= self.texture.mean(axis=(1, 2), keepdims=True)
+            self._tex_fine = None
+        else:
+            # MS1M-scale id counts: 85,742 ids × 112² f32 upsampled
+            # textures = 4.3 GB — keep the (n, fine, fine) latents and
+            # upsample per render instead (bitwise the same values)
+            self.texture = None
+            self._tex_fine = tex
         self.texture_weight = texture_weight
         # id-specific marks (moles/scars): dark spots at fixed face coords
         self.marks = g.uniform(0.25, 0.8, (n, 3, 2)).astype(np.float32)
@@ -184,6 +195,12 @@ class RenderedIdentities:
         s = image_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
         self._yy, self._xx = yy, xx
+
+    def _tex(self, i: int) -> np.ndarray:
+        if self.texture is not None:
+            return self.texture[i]
+        up = _bilinear_up(self._tex_fine[i], self.image_size)
+        return up - up.mean()
 
     # -- canonical (pose-free) render of one identity ------------------
     def _canonical(self, i: int, rng: np.random.Generator) -> np.ndarray:
@@ -194,7 +211,7 @@ class RenderedIdentities:
         skin = self.skin[i] * rng.uniform(0.96, 1.04)
         img[head] = skin
         # fine texture + marks only inside the head (identity detail)
-        img += (self.texture_weight * self.texture[i][..., None]
+        img += (self.texture_weight * self._tex(i)[..., None]
                 * head[..., None])
         for (my, mx), r in zip(self.marks[i], self.mark_r[i]):
             m = ((xx - mx) ** 2 + (yy - my) ** 2 <= r ** 2) & head

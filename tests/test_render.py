@@ -112,3 +112,20 @@ def test_jpeg_roundtrip_returns_valid_image():
     assert out.shape == img.shape and out.dtype == np.float32
     assert 0 <= out.min() and out.max() <= 255
     assert not np.array_equal(out, np.clip(img, 0, 255).astype(np.uint8))
+
+
+def test_lazy_texture_bitwise_matches_eager(monkeypatch):
+    """Above _EAGER_TEX_MAX ids the per-id texture upsampling goes lazy
+    (MS1M-scale id counts would need 4.3 GB eagerly); renders must be
+    bitwise identical either way."""
+    from crfr.data import render as R
+
+    eager = R.RenderedIdentities(6, 48, seed=11)
+    monkeypatch.setattr(R.RenderedIdentities, "_EAGER_TEX_MAX", 2)
+    lazy = R.RenderedIdentities(6, 48, seed=11)
+    assert lazy.texture is None and lazy._tex_fine is not None
+    for i in range(6):
+        np.testing.assert_array_equal(eager._tex(i), lazy._tex(i))
+    a = eager.render(3, np.random.default_rng(4))
+    b = lazy.render(3, np.random.default_rng(4))
+    np.testing.assert_array_equal(a, b)
