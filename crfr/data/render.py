@@ -356,14 +356,23 @@ class RenderedIdentities:
 
     def eval_pairs(self, rng: np.random.Generator, n_pairs: int,
                    id_range: tuple[int, int] | None = None):
-        """→ (imgs1, imgs2, issame): n_pairs genuine + n_pairs impostor."""
+        """→ (imgs1, imgs2, issame): n_pairs genuine + n_pairs impostor,
+        INTERLEAVED (genuine at even indices) — the LFW-bin convention.
+        The 10-fold protocol's test folds are contiguous index blocks
+        (eval/verification._fold_masks), so block-ordered polarities
+        would make every fold single-polarity: a degenerate (early-
+        training, collapsed-embedding) model then reads accuracy ≈ 0
+        instead of ≈ 0.5, because each train fold's majority polarity
+        anti-predicts its opposite-polarity test fold."""
         lo, hi = id_range or (0, self.num_ids)
         same = rng.integers(lo, hi, n_pairs)
         a, b = rng.integers(lo, hi, n_pairs), rng.integers(lo, hi, n_pairs)
         b = np.where(b == a, lo + (b + 1 - lo) % (hi - lo), b)
-        i1 = np.concatenate([same, a])
-        i2 = np.concatenate([same, b])
-        issame = np.concatenate([np.ones(n_pairs, bool),
-                                 np.zeros(n_pairs, bool)])
+        i1 = np.empty(2 * n_pairs, np.int64)
+        i2 = np.empty(2 * n_pairs, np.int64)
+        issame = np.zeros(2 * n_pairs, bool)
+        i1[0::2], i1[1::2] = same, a
+        i2[0::2], i2[1::2] = same, b
+        issame[0::2] = True
         return (self.sample_for_ids(rng, i1), self.sample_for_ids(rng, i2),
                 issame)

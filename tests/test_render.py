@@ -87,12 +87,15 @@ def test_hard_nuisances_fire_and_change_samples():
     assert grad_energy(h).min() < grad_energy(e).min() * 0.7
 
 
-def test_eval_pairs_heldout_range():
+def test_eval_pairs_heldout_range_interleaved():
+    """Genuine/impostor alternate (LFW-bin convention) so the contiguous
+    10-fold masks always see balanced folds."""
     r = RenderedIdentities(10, 32, seed=5, hard=0.5)
     i1, i2, issame = r.eval_pairs(np.random.default_rng(2), 8,
                                   id_range=(8, 10))
-    assert i1.shape == (16, 32, 32, 3) and issame[:8].all()
-    assert not issame[8:].any()
+    assert i1.shape == (16, 32, 32, 3)
+    assert issame[0::2].all() and not issame[1::2].any()
+    assert issame.sum() == 8
 
 
 def test_blur_helpers_preserve_mean():
