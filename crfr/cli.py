@@ -115,11 +115,21 @@ def cmd_headline(args, extra) -> int:
             valid = [f.name for f in dataclasses.fields(HeadlineCfg)]
             raise KeyError(f"unknown headline field {k!r}; valid: {valid}")
         d = getattr(defaults, k)
-        kv[k] = (tuple(int(x) for x in v.split(",")) if isinstance(d, tuple)
-                 else type(d)(v))
+        if isinstance(d, bool):              # bool("0") is True — parse it
+            kv[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(d, tuple):
+            kv[k] = tuple(int(x) for x in v.split(","))
+        else:
+            kv[k] = type(d)(v)
     kv.setdefault("probe_sizes",
                   tuple(int(s) for s in args.probe_sizes.split(",") if s))
     h = dataclasses.replace(defaults, out_dir=args.out, **kv)
+    if args.seeds > 1:
+        from crfr.experiments.headline import run_headline_seeds
+        out = run_headline_seeds(h, args.seeds)
+        print(json.dumps({"aggregate": out["aggregate"],
+                          "total_s": out["total_s"]}))
+        return 0
     table = run_headline(h)
     out = {"results": table["results"], "total_s": table["total_s"],
            "ordering": {str(p): ordering_holds(table, p)
@@ -1220,6 +1230,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("headline")
     p.add_argument("--out", default="/tmp/crfr_headline",
                    help="stage checkpoints + headline.json land here")
+    p.add_argument("--seeds", type=int, default=1,
+                   help=">1: run that many full replicates (seed, "
+                        "seed+1000, ...) and aggregate mean±std per cell "
+                        "+ per-seed ordering into headline_seeds.json")
     p.add_argument("--probe-sizes", default="16,8",
                    help="comma-separated LR probe sizes (must divide "
                         "data size; a (SR-GAN, student pair) trains per "
